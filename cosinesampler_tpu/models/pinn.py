@@ -1,0 +1,134 @@
+"""PIXEL-style PINN: multicell feature grids + tiny MLP + PDE residual.
+
+The reference library exists to serve this workload (README.md:37-41; the
+in-repo simulation is test/test_2d.py:26-52,221-230 and
+test/test_3d.py:14-46,270-276): sample an ensemble of shifted feature grids
+at collocation points, sum the cells, feed a small MLP, and train on a PDE
+residual that needs u, first and second spatial derivatives — with gradients
+flowing back to the cell grids through third-order mixed terms.
+
+Everything here is a pure function over a params pytree, jit/shard-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.config import SamplerConfig
+from ..ops.sampler import sample
+
+
+@dataclasses.dataclass(frozen=True)
+class PINNConfig:
+    dim: int = 2
+    n_cells: int = 96            # test_2d.py:21
+    cell_dim: int = 4            # test_2d.py:22 (feature channels)
+    cell_size: int = 16          # test_2d.py:26
+    hidden: int = 16             # test_2d.py:43-46
+    kernel: str = "cosine"
+    padding_mode: str = "zeros"
+    align_corners: bool = True
+    multicell: bool = True
+    backend: str = "auto"
+    pde: str = "allen_cahn"      # allen_cahn (2D, test_2d.py:221) |
+    #                              helmholtz (3D, test_3d.py:270)
+
+    @property
+    def sampler(self) -> SamplerConfig:
+        return SamplerConfig(
+            dim=self.dim, kernel=self.kernel, padding_mode=self.padding_mode,
+            align_corners=self.align_corners, multicell=self.multicell,
+            backend=self.backend,
+        )
+
+
+def init_params(key, cfg: PINNConfig, dtype=jnp.float32):
+    """Cell grids ~ U[0,1] (test_2d.py:26) + Glorot MLP."""
+    k_cells, k_w1, k_w2 = jax.random.split(key, 3)
+    spatial = (cfg.cell_size,) * cfg.dim
+    cells = jax.random.uniform(
+        k_cells, (cfg.n_cells, cfg.cell_dim, *spatial), dtype=dtype)
+    s1 = math.sqrt(2.0 / (cfg.cell_dim + cfg.hidden))
+    s2 = math.sqrt(2.0 / (cfg.hidden + 1))
+    return {
+        "cells": cells,
+        "w1": jax.random.normal(k_w1, (cfg.cell_dim, cfg.hidden), dtype) * s1,
+        "b1": jnp.zeros((cfg.hidden,), dtype),
+        "w2": jax.random.normal(k_w2, (cfg.hidden, 1), dtype) * s2,
+        "b2": jnp.zeros((1,), dtype),
+    }
+
+
+def _mlp(params, feats):
+    h = jnp.tanh(feats @ params["w1"] + params["b1"])
+    return (h @ params["w2"] + params["b2"])[..., 0]
+
+
+def field(params, pts, cfg: PINNConfig):
+    """u(points): sample cells, sum the ensemble, apply the MLP.
+
+    pts: (Q, dim) in [-1, 1].  Returns (Q,).  Mirrors
+    test_2d.py:40-52 (sample -> sum(0) -> view -> t() -> net).
+    """
+    cells = params["cells"]
+    n = cells.shape[0]
+    q = pts.shape[0]
+    lead = (n,) + (1,) * (cfg.dim - 1)
+    grid = jnp.broadcast_to(
+        pts.reshape((1,) * cfg.dim + pts.shape), (*lead, q, cfg.dim))
+    out = sample(cells, grid, cfg.sampler)          # (N, C, ..., Q)
+    feats = out.reshape(n, cfg.cell_dim, q).sum(0)  # (C, Q)
+    return _mlp(params, feats.T)
+
+
+def spatial_derivative(params, pts, cfg: PINNConfig, axis: int, order: int = 1):
+    """d^order u / d(axis)^order per point, via nested grad-of-sum.
+
+    Valid because u(q) depends only on pts[q] (collocation points are
+    independent), so grad of sum gives the per-point derivative.
+    """
+    if order == 0:
+        return field(params, pts, cfg)
+
+    def deriv(p):
+        return spatial_derivative(params, p, cfg, axis, order - 1).sum()
+
+    return jax.grad(deriv)(pts)[:, axis]
+
+
+def residual(params, pts, cfg: PINNConfig):
+    """PDE residual at the collocation points."""
+    u = field(params, pts, cfg)
+    if cfg.pde == "allen_cahn":
+        # f = 2 u_y + 5 u^3 - 5 u - 1e-4 u_xx     (test_2d.py:221)
+        u_y = spatial_derivative(params, pts, cfg, axis=1, order=1)
+        u_xx = spatial_derivative(params, pts, cfg, axis=0, order=2)
+        return 2.0 * u_y + 5.0 * u**3 - 5.0 * u - 1e-4 * u_xx
+    if cfg.pde == "helmholtz":
+        # f = u_xx + u_yy (+ u_zz) + u            (test_3d.py:270)
+        lap = sum(spatial_derivative(params, pts, cfg, axis=ax, order=2)
+                  for ax in range(cfg.dim))
+        return lap + u
+    raise ValueError(f"unknown pde {cfg.pde!r}")
+
+
+def loss(params, pts, cfg: PINNConfig):
+    f = residual(params, pts, cfg)
+    return jnp.mean(f**2)
+
+
+def make_train_step(cfg: PINNConfig, optimizer):
+    """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready."""
+
+    def step(params, opt_state, pts):
+        lval, grads = jax.value_and_grad(lambda p: loss(p, pts, cfg))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, lval
+
+    return step

@@ -1,0 +1,67 @@
+"""Public API: cosine_sampler_2d / cosine_sampler_3d.
+
+Functional equivalents of ``CosineSampler2d.apply`` / ``CosineSampler3d.apply``
+(modules_2d.py:20-35, modules_3d.py:20-35), with the same positional flag
+surface.  Differences from the reference, all deliberate:
+
+* device-agnostic and functionally pure — no hardcoded ``.to('cuda')`` and no
+  per-call host->device offset copy (modules_2d.py:25-27); the multicell
+  offsets are constant-folded into the jitted program.
+* differentiable to ANY order via jax.grad/jax.jacfwd, not just the
+  hand-wired three levels.
+* an extra ``backend`` flag selects the compute path ("auto" picks Pallas
+  kernels on TPU, plain XLA elsewhere).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .config import SamplerConfig
+from .sampler import sample
+
+
+def cosine_sampler_2d(input, grid, padding_mode: str = "zeros",
+                      align_corners: bool = True, kernel: str = "cosine",
+                      multicell: bool = True, backend: str = "auto"):
+    """Sample N feature grids (N, C, H, W) at grid (N, H_out, W_out, 2).
+
+    Grid coords in [-1, 1]; grid[..., 0] is x (addresses W), grid[..., 1] is
+    y (addresses H).  Returns (N, C, H_out, W_out).
+    """
+    cfg = SamplerConfig(
+        dim=2, kernel=kernel, padding_mode=padding_mode,
+        align_corners=align_corners, multicell=multicell, backend=backend,
+    )
+    return sample(input, grid, cfg)
+
+
+def cosine_sampler_3d(input, grid, padding_mode: str = "zeros",
+                      align_corners: bool = True, kernel: str = "cosine",
+                      multicell: bool = True, backend: str = "auto"):
+    """Sample N feature volumes (N, C, D, H, W) at grid (N, D_out, H_out, W_out, 3).
+
+    grid[..., 0] is x (addresses W), [..., 1] y (H), [..., 2] z (D).
+    Returns (N, C, D_out, H_out, W_out).
+    """
+    cfg = SamplerConfig(
+        dim=3, kernel=kernel, padding_mode=padding_mode,
+        align_corners=align_corners, multicell=multicell, backend=backend,
+    )
+    return sample(input, grid, cfg)
+
+
+class _ApplyShim:
+    """`CosineSampler2d.apply(...)`-style shim for drop-in migration."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def apply(self, input, grid, padding_mode="zeros", align_corners=True,
+              kernel="cosine", multicell=True):
+        return self._fn(input, grid, padding_mode, align_corners, kernel,
+                        multicell)
+
+
+CosineSampler2d = _ApplyShim(cosine_sampler_2d)
+CosineSampler3d = _ApplyShim(cosine_sampler_3d)
