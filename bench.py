@@ -2,18 +2,23 @@
 
 Workload = test/test_2d.py:20-26,221-230 of the reference: 96 cells x 4ch x
 16x16 grids, 100k collocation points, cosine+multicell, Allen-Cahn residual
-with u, u_y, u_xx, full gradient to the cells (third-order chain), Adam step.
+(needs u, u_y, u_xx), full gradient to the cells, Adam step.
 
 Prints ONE JSON line:
-  value       = PINN training iterations/sec with the cosinesampler_tpu chain
-  vs_baseline = speedup over "naive JAX": the same pipeline with derivatives
-                obtained by letting JAX trace nested autodiff through the
-                plain XLA gather program (no custom_vjp chain, no kernels) —
-                the baseline the reference's custom CUDA chain was built to
-                beat (README.md:3), and BASELINE.md's >=10x target.
+  value       = PINN training iterations/sec on the FUSED flagship path
+                (single-pass value/jac/diag-Hessian Pallas kernel +
+                forward-over-forward MLP propagation, ops/fused.py)
+  vs_baseline = speedup over "naive JAX": identical pipeline with the
+                derivatives re-derived by nested jax.grad tracing through a
+                plain XLA gather/scatter sampler — the baseline the
+                reference's custom CUDA chain was built to beat
+                (README.md:3); BASELINE.md targets >= 10x.
+
+Progress lines go to stderr so the driver still gets exactly one stdout line.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -26,18 +31,16 @@ from cosinesampler_tpu.ops import generic
 from cosinesampler_tpu.ops.config import SamplerConfig
 
 N_POINTS = 100_000
-N_WARMUP = 3
+N_WARMUP = 2
 N_ITERS = 10
 
 
-def _pinn_cfg(backend: str) -> pinn.PINNConfig:
-    return pinn.PINNConfig(dim=2, n_cells=96, cell_dim=4, cell_size=16,
-                           kernel="cosine", pde="allen_cahn", backend=backend)
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _naive_field(params, pts, cfg: pinn.PINNConfig):
-    """Same model, but the sampler is the raw XLA program (JAX retraces all
-    derivative orders instead of using the custom chain)."""
+    """Same model, raw XLA sampler, all derivatives traced by JAX."""
     cells = params["cells"]
     n = cells.shape[0]
     q = pts.shape[0]
@@ -49,9 +52,9 @@ def _naive_field(params, pts, cfg: pinn.PINNConfig):
     return pinn._mlp(params, feats.T)
 
 
-def _make_loss(cfg, field_fn):
+def _make_naive_loss(cfg):
     def u(params, pts):
-        return field_fn(params, pts, cfg)
+        return _naive_field(params, pts, cfg)
 
     def u_d(params, pts, ax):
         return jax.grad(lambda p: u(params, p).sum())(pts)[:, ax]
@@ -68,27 +71,21 @@ def _make_loss(cfg, field_fn):
     return loss
 
 
-def _bench_step(loss_fn, params, pts, optimizer):
-    opt_state = optimizer.init(params)
-
-    @jax.jit
-    def step(params, opt_state, pts):
-        lval, grads = jax.value_and_grad(loss_fn)(params, pts)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, g: p + g, params, updates)
-        return params, opt_state, lval
-
-    # compile + warmup
+def _bench(step, params, opt_state, pts, name):
+    t0 = time.perf_counter()
     for _ in range(N_WARMUP):
         params, opt_state, lval = step(params, opt_state, pts)
     jax.block_until_ready(lval)
-
+    log(f"{name}: compile+warmup {time.perf_counter() - t0:.1f}s "
+        f"(loss={float(lval):.5f})")
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         params, opt_state, lval = step(params, opt_state, pts)
     jax.block_until_ready(lval)
     dt = time.perf_counter() - t0
-    return N_ITERS / dt, float(lval)
+    ips = N_ITERS / dt
+    log(f"{name}: {ips:.3f} iters/sec")
+    return ips
 
 
 def main():
@@ -96,22 +93,41 @@ def main():
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 2)),
                       dtype=jnp.float32)
     optimizer = optax.adam(1e-3)
-
-    cfg = _pinn_cfg(backend="auto")
+    cfg = pinn.PINNConfig(dim=2, n_cells=96, cell_dim=4, cell_size=16,
+                          kernel="cosine", pde="allen_cahn", backend="auto")
     params = pinn.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = optimizer.init(params)
 
-    ours_loss = _make_loss(cfg, pinn.field)
-    ours_ips, _ = _bench_step(ours_loss, params, pts, optimizer)
+    fused_step = jax.jit(pinn.make_train_step(cfg, optimizer, fused=True))
+    ours_ips = _bench(fused_step, params, opt_state, pts, "fused@100k")
+    ours_pps = ours_ips * N_POINTS
 
-    naive_loss = _make_loss(cfg, _naive_field)
-    naive_ips, _ = _bench_step(naive_loss, params, pts, optimizer)
+    # The naive nested-grad graph cannot even fit the reference's 100k-point
+    # workload on one v5e (XLA OOM: 19.2G of 15.75G HBM) — run it at the
+    # largest feasible size and compare points/sec.
+    naive_q = 25_000
+    naive_loss = _make_naive_loss(cfg)
+
+    @jax.jit
+    def naive_step(params, opt_state, pts):
+        lval, grads = jax.value_and_grad(naive_loss)(params, pts)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, g: p + g, params, updates)
+        return params, opt_state, lval
+
+    naive_ips = _bench(naive_step, params, opt_state, pts[:naive_q],
+                       f"naive@{naive_q}")
+    naive_pps = naive_ips * naive_q
+    log(f"fused {ours_pps:.0f} pts/s vs naive {naive_pps:.0f} pts/s")
 
     print(json.dumps({
         "metric": "2D multicell PINN train iters/sec "
-                  "(96x4x16x16 cells, 100k pts, 3rd-order chain)",
+                  "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order; "
+                  "vs_baseline = points/sec speedup over naive nested-grad "
+                  "XLA, which OOMs above 25k pts)",
         "value": round(ours_ips, 3),
         "unit": "iters/sec",
-        "vs_baseline": round(ours_ips / naive_ips, 3),
+        "vs_baseline": round(ours_pps / naive_pps, 3),
     }))
 
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.config import SamplerConfig
+from ..ops.fused import sample_features_with_derivs
 from ..ops.sampler import sample
 
 
@@ -101,6 +102,52 @@ def spatial_derivative(params, pts, cfg: PINNConfig, axis: int, order: int = 1):
     return jax.grad(deriv)(pts)[:, axis]
 
 
+def field_and_grads(params, pts, cfg: PINNConfig):
+    """u, [u_x, u_y(, u_z)], [u_xx, u_yy(, u_zz)] in one fused sampler pass.
+
+    The sampler emits the feature ensemble's value/jacobian/diagonal Hessian
+    directly (ops/fused.py); the tiny MLP is then propagated with two nested
+    jvp's (forward-over-forward), so the whole second-order PINN residual
+    needs NO reverse-mode retraversal of the sampler — the TPU-native
+    answer to the reference's fwd+bwd+bwd^2 CUDA chain per step
+    (SURVEY.md section 3.5).
+    """
+    d = cfg.dim
+    feats = sample_features_with_derivs(params["cells"], pts, cfg.sampler)
+    f = feats[0].T                                   # (Q, C)
+    jac = [feats[1 + ax].T for ax in range(d)]
+    hes = [feats[1 + d + ax].T for ax in range(d)]
+
+    def net(z):
+        return _mlp(params, z)
+
+    u = net(f)
+    u_d, u_dd = [], []
+    for ax in range(d):
+        def first(fv, fxv):
+            return jax.jvp(net, (fv,), (fxv,))
+
+        (_, ux), (_, uxx) = jax.jvp(first, (f, jac[ax]), (jac[ax], hes[ax]))
+        u_d.append(ux)
+        u_dd.append(uxx)
+    return u, u_d, u_dd
+
+
+def residual_fused(params, pts, cfg: PINNConfig):
+    """PDE residual via the fused value/derivative pass."""
+    u, u_d, u_dd = field_and_grads(params, pts, cfg)
+    if cfg.pde == "allen_cahn":
+        return 2.0 * u_d[1] + 5.0 * u**3 - 5.0 * u - 1e-4 * u_dd[0]
+    if cfg.pde == "helmholtz":
+        return sum(u_dd) + u
+    raise ValueError(f"unknown pde {cfg.pde!r}")
+
+
+def loss_fused(params, pts, cfg: PINNConfig):
+    f = residual_fused(params, pts, cfg)
+    return jnp.mean(f**2)
+
+
 def residual(params, pts, cfg: PINNConfig):
     """PDE residual at the collocation points."""
     u = field(params, pts, cfg)
@@ -122,11 +169,16 @@ def loss(params, pts, cfg: PINNConfig):
     return jnp.mean(f**2)
 
 
-def make_train_step(cfg: PINNConfig, optimizer):
-    """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready."""
+def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False):
+    """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready.
+
+    ``fused=True`` uses the single-pass value/derivative sampler
+    (loss_fused); ``False`` uses nested jax.grad through the sampler chain.
+    """
+    loss_fn = loss_fused if fused else loss
 
     def step(params, opt_state, pts):
-        lval, grads = jax.value_and_grad(lambda p: loss(p, pts, cfg))(params)
+        lval, grads = jax.value_and_grad(lambda p: loss_fn(p, pts, cfg))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, lval

@@ -1,0 +1,82 @@
+"""PINN training driver: fused sampler + native point stream + checkpoints.
+
+The production counterpart of the reference's ad-hoc test loops
+(test/test_2d.py:221-244): per-step fresh collocation batches from the
+native generator (utils/pointgen.py), the fused value/derivative train step
+(models/pinn.py), structured per-step metrics, and orbax checkpoint/resume.
+The library itself stays print-free; all observability lives here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.pointgen import PointGenerator
+from . import pinn
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: pinn.PINNConfig = dataclasses.field(default_factory=pinn.PINNConfig)
+    batch_points: int = 100_000
+    steps: int = 1000
+    lr: float = 1e-3
+    seed: int = 0
+    fused: bool = True
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 500
+    log_every: int = 50
+
+
+def train(cfg: TrainConfig,
+          on_metrics: Optional[Callable[[Dict], None]] = None):
+    """Run the PINN loop; returns (params, list-of-metric-dicts)."""
+    mcfg = cfg.model
+    optimizer = optax.adam(cfg.lr)
+    params = pinn.init_params(jax.random.PRNGKey(cfg.seed), mcfg)
+    opt_state = optimizer.init(params)
+    start_step = 0
+
+    if cfg.checkpoint_dir:
+        from ..utils import checkpoint as ckpt
+        try:
+            start_step, state = ckpt.restore_state(
+                cfg.checkpoint_dir, {"params": params, "opt": opt_state})
+            params, opt_state = state["params"], state["opt"]
+        except FileNotFoundError:
+            pass
+
+    step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer, fused=cfg.fused))
+    gen = PointGenerator(cfg.batch_points, mcfg.dim, seed=cfg.seed)
+
+    metrics: List[Dict] = []
+    t_last = time.perf_counter()
+    for step in range(start_step, cfg.steps):
+        pts = jnp.asarray(gen.batch(step))
+        params, opt_state, lval = step_fn(params, opt_state, pts)
+        if (step + 1) % cfg.log_every == 0 or step + 1 == cfg.steps:
+            lval = float(jax.block_until_ready(lval))
+            now = time.perf_counter()
+            window = min(cfg.log_every, step + 1 - start_step)
+            rec = {
+                "step": step + 1,
+                "loss": lval,
+                "steps_per_sec": window / (now - t_last),
+                "points_per_sec": window * cfg.batch_points / (now - t_last),
+            }
+            metrics.append(rec)
+            if on_metrics:
+                on_metrics(rec)
+            t_last = now
+        if cfg.checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
+            from ..utils import checkpoint as ckpt
+            ckpt.save_state(cfg.checkpoint_dir, step + 1,
+                            {"params": params, "opt": opt_state})
+    gen.close()
+    return params, metrics

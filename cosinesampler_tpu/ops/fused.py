@@ -1,0 +1,151 @@
+"""Fused multicell sampling with first + second derivatives.
+
+The PINN residual loop (the workload CosineSampler exists for,
+README.md:37-41) needs, at every collocation point, the cell-ensemble
+feature value AND its first and pure-second spatial derivatives:
+u, u_x, u_y[, u_z], u_xx, u_yy[, u_zz] (test/test_2d.py:63-95,221).  The
+reference computes these with four separate CUDA kernel launches chained
+through stacked autograd Functions (SURVEY.md section 3.5); here they come
+out of ONE fused pass:
+
+    sample_features_with_derivs(cells, points, cfg)
+        -> (1 + 2*dim, C, Q):  [value, jac_x.., hess_xx..]
+
+summed over the multicell ensemble (the consumer's ``val.sum(0)``,
+test_2d.py:51, fused in), so the kernel writes (1+2d) x C x Q floats
+instead of the reference's N x C x Q forward alone — ~14x less HBM traffic
+at N=96 — and the derivative fields are explicit outputs rather than
+autodiff re-traversals.
+
+Gradient flow to the cells is ONE fused transpose pass (custom_vjp below);
+derivatives w.r.t. the points are exact via the blend family.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import generic
+from .config import SamplerConfig
+from .sampler import _BACKEND_IMPLS, differentiable_blend
+
+def _all_orders(dim: int):
+    """Output row order: value, jac_x.., hess_xx.. (1 + 2*dim rows)."""
+    value = (0,) * dim
+    jac = [tuple(1 if i == ax else 0 for i in range(dim)) for ax in range(dim)]
+    hess = [tuple(2 if i == ax else 0 for i in range(dim)) for ax in range(dim)]
+    return [value] + jac + hess
+
+
+def _points_to_grid(points, n):
+    q, dim = points.shape
+    lead = (1,) * (dim - 1)
+    return jnp.broadcast_to(
+        points.reshape((1,) * dim + (q, dim)), (n, *lead, q, dim))
+
+
+def xla_fused_blend(cells, points, cfg: SamplerConfig):
+    """Reference implementation: one generic.blend per term, summed over cells."""
+    n, c = cells.shape[:2]
+    q = points.shape[0]
+    grid = _points_to_grid(points, n)
+    outs = [
+        generic.blend(cells, grid, cfg, o).reshape(n, c, q).sum(axis=0)
+        for o in _all_orders(cfg.dim)
+    ]
+    return jnp.stack(outs, axis=0)              # (1+2d, C, Q)
+
+
+def xla_fused_bwd(g, points, in_spatial, cfg: SamplerConfig, n_cells: int):
+    """Cells-cotangent: one generic.splat per term (cell-broadcast g)."""
+    c, q = g.shape[1:]
+    grid = _points_to_grid(points, n_cells)
+    total = None
+    for row, o in enumerate(_all_orders(cfg.dim)):
+        gb = jnp.broadcast_to(g[row][None], (n_cells, c, q))
+        gb = gb.reshape(n_cells, c, *grid.shape[1:-1])
+        part = generic.splat(gb, grid, in_spatial, cfg, o)
+        total = part if total is None else total + part
+    return total
+
+
+def _resolve_fused(cfg: SamplerConfig, op: str):
+    backend = cfg.backend
+    if backend == "xla":
+        return None
+    impls = _BACKEND_IMPLS.get(("pallas", cfg.dim), {})
+    if backend == "auto" and jax.default_backend() != "tpu":
+        return None
+    return impls.get(op)
+
+
+_FUSED_CACHE = {}
+
+
+def make_fused(cfg: SamplerConfig, n_cells: int, in_spatial: Tuple[int, ...]):
+    """custom_vjp-wrapped fused op for one (config, N, spatial)."""
+    key = (cfg, n_cells, in_spatial)
+    cached = _FUSED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def impl(cells, points):
+        fused = _resolve_fused(cfg, "fused_blend")
+        if fused is not None:
+            return fused(cells, points, cfg)
+        return xla_fused_blend(cells, points, cfg)
+
+    def bwd_impl(g, points):
+        fused = _resolve_fused(cfg, "fused_bwd")
+        if fused is not None:
+            return fused(g, points, in_spatial, cfg, n_cells)
+        return xla_fused_bwd(g, points, in_spatial, cfg, n_cells)
+
+    @jax.custom_vjp
+    def fused_o(cells, points):
+        return impl(cells, points)
+
+    def fused_fwd(cells, points):
+        return fused_o(cells, points), (cells, points)
+
+    def fused_bwd(res, g):
+        cells, points = res
+        cells_bar = bwd_impl(g, points)
+        # points cotangent: exact, via order-bumped blends (DCE'd when the
+        # caller does not differentiate w.r.t. the points)
+        grid = _points_to_grid(points, n_cells)
+        q = points.shape[0]
+        lanes = []
+        for ax in range(cfg.dim):
+            acc = 0.0
+            for row, o in enumerate(_all_orders(cfg.dim)):
+                bumped = tuple(v + (1 if i == ax else 0)
+                               for i, v in enumerate(o))
+                blend_b = differentiable_blend(cfg, bumped)
+                term = blend_b(cells, grid).reshape(n_cells, -1, q).sum(0)
+                acc = acc + (g[row] * term).sum(axis=0)     # sum channels
+            lanes.append(acc)
+        points_bar = jnp.stack(lanes, axis=-1).astype(points.dtype)
+        return cells_bar, points_bar
+
+    fused_o.defvjp(fused_fwd, fused_bwd)
+    _FUSED_CACHE[key] = fused_o
+    return fused_o
+
+
+def sample_features_with_derivs(cells, points, cfg: SamplerConfig):
+    """(1+2*dim, C, Q): multicell-summed value, jacobian, diagonal Hessian.
+
+    ``points``: (Q, dim) normalized coords shared by all cells (the PINN
+    layout, test_2d.py:38: one query cloud broadcast across cells).
+    Derivatives are w.r.t. the normalized coordinates.
+    """
+    if points.ndim != 2 or points.shape[-1] != cfg.dim:
+        raise ValueError(f"points must be (Q, {cfg.dim}): got {points.shape}")
+    fused = make_fused(cfg, cells.shape[0], tuple(cells.shape[2:]))
+    return fused(cells, points)

@@ -44,12 +44,13 @@ from .config import SamplerConfig
 _BACKEND_IMPLS = {}
 
 
-def register_backend(name: str, dim: int, *, blend=None, splat=None):
+def register_backend(name: str, dim: int, *, blend=None, splat=None,
+                     fused_blend=None, fused_bwd=None):
     impls = _BACKEND_IMPLS.setdefault((name, dim), {})
-    if blend is not None:
-        impls["blend"] = blend
-    if splat is not None:
-        impls["splat"] = splat
+    for key, fn in (("blend", blend), ("splat", splat),
+                    ("fused_blend", fused_blend), ("fused_bwd", fused_bwd)):
+        if fn is not None:
+            impls[key] = fn
 
 
 def _resolve(cfg: SamplerConfig, op: str):
