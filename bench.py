@@ -72,20 +72,86 @@ def _make_naive_loss(cfg):
 
 
 def _bench(step, params, opt_state, pts, name):
+    """Time N_ITERS steps inside ONE jitted lax.scan.
+
+    Looping a jitted call from Python is untrustworthy on this stack: the
+    remote-TPU tunnel pipelines dispatches and short-circuits repeats, so
+    wall-clock around a Python loop measures dispatch, not device time.  A
+    scan with the carried training state is a single device program.
+    """
+
+    @jax.jit
+    def run(params, opt_state, pts):
+        def body(carry, _):
+            p, s = carry
+            p, s, lval = step(p, s, pts)
+            return (p, s), lval
+        (_, _), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=N_ITERS)
+        return losses
+
     t0 = time.perf_counter()
-    for _ in range(N_WARMUP):
-        params, opt_state, lval = step(params, opt_state, pts)
-    jax.block_until_ready(lval)
-    log(f"{name}: compile+warmup {time.perf_counter() - t0:.1f}s "
-        f"(loss={float(lval):.5f})")
+    losses = run(params, opt_state, pts)
+    jax.block_until_ready(losses)
+    log(f"{name}: compile+first-run {time.perf_counter() - t0:.1f}s "
+        f"(loss {float(losses[0]):.5f} -> {float(losses[-1]):.5f})")
     t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        params, opt_state, lval = step(params, opt_state, pts)
-    jax.block_until_ready(lval)
+    losses = run(params, opt_state, pts * 0.999)  # fresh inputs, no replay
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
     ips = N_ITERS / dt
-    log(f"{name}: {ips:.3f} iters/sec")
+    log(f"{name}: {ips:.3f} iters/sec ({1e3 / ips:.2f} ms/step)")
     return ips
+
+
+def _kernel_roofline(params, pts, cfg):
+    """Time the fused fwd kernel alone; report achieved HBM bandwidth %.
+
+    The kernel is iterated inside ONE jitted scan (with a serializing data
+    dependency) so per-dispatch tunnel latency doesn't pollute the number.
+    """
+    from cosinesampler_tpu.ops.fused import sample_features_with_derivs
+    from cosinesampler_tpu.utils.profiling import V5E_HBM_GBPS
+
+    reps = 50
+
+    @jax.jit
+    def many(c, p):
+        def body(carry, _):
+            out = sample_features_with_derivs(c, carry, cfg.sampler)
+            # serialize: next points depend (non-foldably) on this output
+            carry = carry + 1e-30 * out[0, 0, :, None]
+            return carry, out[0, 0, 0]
+        carry, vals = jax.lax.scan(body, p, None, length=reps)
+        return vals.sum() + carry.sum()
+
+    r = many(params["cells"], pts)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = many(params["cells"], pts * 0.999)
+    jax.block_until_ready(r)
+    sec = (time.perf_counter() - t0) / reps
+    n, c = params["cells"].shape[:2]
+    q = pts.shape[0]
+    k_rows = 1 + 2 * cfg.dim
+    bytes_moved = (params["cells"].size + q * cfg.dim + k_rows * c * q) * 4
+    gbps = bytes_moved / sec / 1e9
+    log(f"fused fwd kernel: {sec * 1e6:.0f}us, {gbps:.0f} GB/s "
+        f"({100 * gbps / V5E_HBM_GBPS:.1f}% of v5e HBM peak)")
+    return sec, 100 * gbps / V5E_HBM_GBPS
+
+
+def _bench_3d(optimizer):
+    """3D Helmholtz step at the reference's 3D workload (test_3d.py:14-19)."""
+    rng = np.random.RandomState(1)
+    cfg = pinn.PINNConfig(dim=3, n_cells=50, cell_dim=4, cell_size=16,
+                          kernel="cosine", pde="helmholtz", backend="auto")
+    params = pinn.init_params(jax.random.PRNGKey(1), cfg)
+    opt_state = optimizer.init(params)
+    pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 3)),
+                      dtype=jnp.float32)
+    step = jax.jit(pinn.make_train_step(cfg, optimizer, fused=True))
+    return _bench(step, params, opt_state, pts, "fused3d@100k")
 
 
 def main():
@@ -120,6 +186,9 @@ def main():
     naive_pps = naive_ips * naive_q
     log(f"fused {ours_pps:.0f} pts/s vs naive {naive_pps:.0f} pts/s")
 
+    kernel_sec, hbm_pct = _kernel_roofline(params, pts, cfg)
+    ips_3d = _bench_3d(optimizer)
+
     print(json.dumps({
         "metric": "2D multicell PINN train iters/sec "
                   "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order; "
@@ -128,6 +197,11 @@ def main():
         "value": round(ours_ips, 3),
         "unit": "iters/sec",
         "vs_baseline": round(ours_pps / naive_pps, 3),
+        "extra": {
+            "fused_fwd_kernel_us": round(kernel_sec * 1e6, 1),
+            "fused_fwd_hbm_pct_of_v5e_peak": round(hbm_pct, 1),
+            "pinn3d_helmholtz_50x4x16c_100k_iters_per_sec": round(ips_3d, 3),
+        },
     }))
 
 

@@ -79,9 +79,9 @@ def field(params, pts, cfg: PINNConfig):
     cells = params["cells"]
     n = cells.shape[0]
     q = pts.shape[0]
-    lead = (n,) + (1,) * (cfg.dim - 1)
-    grid = jnp.broadcast_to(
-        pts.reshape((1,) * cfg.dim + pts.shape), (*lead, q, cfg.dim))
+    # shared-query grid (batch dim 1): the sampler broadcasts it across the
+    # cell ensemble without materializing N copies of the coordinates
+    grid = pts.reshape((1,) * cfg.dim + pts.shape)
     out = sample(cells, grid, cfg.sampler)          # (N, C, ..., Q)
     feats = out.reshape(n, cfg.cell_dim, q).sum(0)  # (C, Q)
     return _mlp(params, feats.T)
@@ -114,12 +114,15 @@ def field_and_grads(params, pts, cfg: PINNConfig):
     """
     d = cfg.dim
     feats = sample_features_with_derivs(params["cells"], pts, cfg.sampler)
-    f = feats[0].T                                   # (Q, C)
-    jac = [feats[1 + ax].T for ax in range(d)]
-    hes = [feats[1 + d + ax].T for ax in range(d)]
+    f = feats[0]                                     # (C, Q), channels-first
+    jac = [feats[1 + ax] for ax in range(d)]
+    hes = [feats[1 + d + ax] for ax in range(d)]
 
     def net(z):
-        return _mlp(params, z)
+        # channels-first MLP: avoids (C,Q)->(Q,C) relayouts of the big
+        # per-point feature fields
+        h = jnp.tanh(params["w1"].T @ z + params["b1"][:, None])
+        return (params["w2"].T @ h + params["b2"][:, None])[0]
 
     u = net(f)
     u_d, u_dd = [], []

@@ -95,15 +95,19 @@ def make_fused(cfg: SamplerConfig, n_cells: int, in_spatial: Tuple[int, ...]):
         return cached
 
     def impl(cells, points):
-        fused = _resolve_fused(cfg, "fused_blend")
-        if fused is not None:
-            return fused(cells, points, cfg)
+        fused_fn = _resolve_fused(cfg, "fused_blend")
+        if fused_fn is not None:
+            out = fused_fn(cells, points, cfg)   # None: exceeds VMEM budget
+            if out is not None:
+                return out
         return xla_fused_blend(cells, points, cfg)
 
     def bwd_impl(g, points):
-        fused = _resolve_fused(cfg, "fused_bwd")
-        if fused is not None:
-            return fused(g, points, in_spatial, cfg, n_cells)
+        fused_fn = _resolve_fused(cfg, "fused_bwd")
+        if fused_fn is not None:
+            out = fused_fn(g, points, in_spatial, cfg, n_cells)
+            if out is not None:
+                return out
         return xla_fused_bwd(g, points, in_spatial, cfg, n_cells)
 
     @jax.custom_vjp

@@ -53,16 +53,18 @@ from .coords import compute_source_coords, multicell_offsets
 from .interpolants import corner_weights
 
 
-def _per_axis_tables(grid_flat, spatial, cfg: SamplerConfig, orders):
+def _per_axis_tables(grid_flat, spatial, cfg: SamplerConfig, orders,
+                     n_cells=None):
     """Per-grid-axis (corner index base, corner weights, axis size).
 
-    ``grid_flat`` is (N, Q, d).  Grid coordinate axis ``i`` addresses input
-    spatial axis ``d-1-i`` (x -> W, y -> H, z -> D), the torch.grid_sample
-    convention used by the reference kernels (kernel.cu:304-308,
-    cosine_sampler_3d_kernel.cu:296-301).
+    ``grid_flat`` is (N, Q, d) — or (1, Q, d) for a query cloud shared by
+    all cells (broadcast against the per-cell offsets).  Grid coordinate
+    axis ``i`` addresses input spatial axis ``d-1-i`` (x -> W, y -> H,
+    z -> D), the torch.grid_sample convention used by the reference kernels
+    (kernel.cu:304-308, cosine_sampler_3d_kernel.cu:296-301).
     """
     d = cfg.dim
-    n = grid_flat.shape[0]
+    n = n_cells if n_cells is not None else grid_flat.shape[0]
     offset = multicell_offsets(n, cfg.multicell, grid_flat.dtype)[:, None]
     tables = []
     for i in range(d):
@@ -108,8 +110,8 @@ def blend(input, grid, cfg: SamplerConfig, orders: Tuple[int, ...]):
     spatial = tuple(input.shape[2:])
     out_spatial = tuple(grid.shape[1:-1])
     q = math.prod(out_spatial)
-    gf = grid.reshape(n, q, d)
-    tables = _per_axis_tables(gf, spatial, cfg, orders)
+    gf = grid.reshape(grid.shape[0], q, d)
+    tables = _per_axis_tables(gf, spatial, cfg, orders, n_cells=n)
     inp = input.reshape(n, c, -1)
     total = math.prod(spatial)
     out = jnp.zeros((n, c, q), dtype=input.dtype)
@@ -128,9 +130,9 @@ def splat(gout, grid, in_spatial: Tuple[int, ...], cfg: SamplerConfig,
     d = cfg.dim
     n, c = gout.shape[:2]
     q = math.prod(gout.shape[2:])
-    gf = grid.reshape(n, q, d)
+    gf = grid.reshape(grid.shape[0], q, d)
     gq = gout.reshape(n, c, q)
-    tables = _per_axis_tables(gf, tuple(in_spatial), cfg, orders)
+    tables = _per_axis_tables(gf, tuple(in_spatial), cfg, orders, n_cells=n)
     total = math.prod(in_spatial)
 
     corner_idx = []

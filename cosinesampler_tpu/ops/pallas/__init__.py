@@ -1,28 +1,67 @@
-"""Pallas TPU backend registration."""
+"""Pallas TPU backend registration.
 
+Kernels keep the cell block and the stage-1 contraction resident in VMEM,
+which bounds the grid sizes they accept (plenty for the reference's 16^2 /
+16^3 workloads, up to ~256^2 / ~32^3).  Larger volumes (the 128^3 sweep,
+BASELINE.md config 5) fall back to the XLA gather/scatter path
+transparently — binned/bricked large-volume kernels are the designated
+next optimization.
+"""
+
+import math
+
+from .. import generic
 from ..sampler import register_backend
-from .fused import pallas_fused_blend, pallas_fused_bwd
-from .kernels import pallas_blend, pallas_splat
+from . import fused2d
+from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
+from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 
 # When True, registered kernels run in the Pallas interpreter (CPU debugging
 # of the full custom_vjp chain against the kernels).
 INTERPRET = False
 
+_VMEM_BUDGET = 6 * 1024 * 1024  # bytes for any single resident buffer
+
+
+def _fits_vmem(cells_shape, q_block, whole_stack: bool) -> bool:
+    """cell block + stage-1 intermediate must fit comfortably in VMEM."""
+    n, c = cells_shape[:2]
+    spatial = cells_shape[2:]
+    cell_block = (n if whole_stack else 1) * c * math.prod(spatial) * 4
+    stage1 = c * math.prod(spatial[:-1]) * q_block * 4
+    return max(cell_block, stage1) <= _VMEM_BUDGET
+
 
 def _blend(input, grid, cfg, orders):
+    if not _fits_vmem(input.shape, DEFAULT_Q_BLOCK, whole_stack=False):
+        return generic.blend(input, grid, cfg, orders)
     return pallas_blend(input, grid, cfg, orders, interpret=INTERPRET)
 
 
 def _splat(gout, grid, in_spatial, cfg, orders):
+    shape = (gout.shape[0], gout.shape[1], *in_spatial)
+    if not _fits_vmem(shape, DEFAULT_Q_BLOCK, whole_stack=False):
+        return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
     return pallas_splat(gout, grid, tuple(in_spatial), cfg, orders,
                         interpret=INTERPRET)
 
 
 def _fused_blend(cells, points, cfg):
+    if fused2d.supports(cfg, cells.shape, _VMEM_BUDGET):
+        return fused2d.pallas_fused2_blend(cells, points, cfg,
+                                           interpret=INTERPRET)
+    if not _fits_vmem(cells.shape, FUSED_Q_BLOCK[cfg.dim], whole_stack=True):
+        return None
     return pallas_fused_blend(cells, points, cfg, interpret=INTERPRET)
 
 
 def _fused_bwd(g, points, in_spatial, cfg, n_cells):
+    shape = (n_cells, g.shape[1], *in_spatial)
+    if fused2d.supports(cfg, shape, _VMEM_BUDGET):
+        return fused2d.pallas_fused2_bwd(g, points, tuple(in_spatial), cfg,
+                                         n_cells, interpret=INTERPRET)
+    if not _fits_vmem(shape, FUSED_Q_BLOCK[cfg.dim], whole_stack=True):
+        return None
     return pallas_fused_bwd(g, points, tuple(in_spatial), cfg, n_cells,
                             interpret=INTERPRET)
 

@@ -41,21 +41,26 @@ from .kernels import _valid_mask
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-FUSED_Q_BLOCK = {2: 512, 3: 256}
+FUSED_Q_BLOCK = {2: 2048, 3: 256}
 
 
 def _axis_onehots(coord, size, cfg, off, valid, q_block):
     """R^(0), R^(1), R^(2) one-hot corner-weight matrices for one axis,
-    with the chain factor mult^k folded into order k."""
+    with the chain factor mult^k folded into order k.
+
+    Built as mask-weighted FMAs on shared hit masks (two compares total per
+    axis), keeping the per-cell VPU work minimal.
+    """
     x, mult = compute_source_coords(
         coord, size, cfg.padding_mode, cfg.align_corners, cfg.multicell, off)
     fx = jnp.floor(x)
     t = x - fx
     fxi = jnp.clip(fx, -2.0, float(size) + 1.0).astype(jnp.int32)
     oob = (fx < -1.5) | (fx > float(size) + 0.5)
+    gate = valid & ~oob
     iota = jax.lax.broadcasted_iota(jnp.int32, (size, q_block), 0)
-    hit0 = iota == fxi
-    hit1 = iota == fxi + 1
+    hit0 = (iota == fxi).astype(jnp.float32)
+    hit1 = (iota == fxi + 1).astype(jnp.float32)
     rs = []
     scale = None
     for k in range(3):
@@ -64,14 +69,24 @@ def _axis_onehots(coord, size, cfg, off, valid, q_block):
             scale = mult if scale is None else scale * mult
             w0 = w0 * scale
             w1 = w1 * scale
-        w0 = jnp.where(valid & ~oob, w0, 0.0)
-        w1 = jnp.where(valid & ~oob, w1, 0.0)
-        rs.append(jnp.where(hit0, w0, 0.0) + jnp.where(hit1, w1, 0.0))
+        w0 = jnp.where(gate, w0, 0.0)
+        w1 = jnp.where(gate, w1, 0.0)
+        rs.append(hit0 * w0 + hit1 * w1)
     return rs
 
 
 def _contract_y(t_flat, r_y, lead, h, q_block):
     return jnp.sum(t_flat.reshape(lead, h, q_block) * r_y[None, :, :], axis=1)
+
+
+def _stacked_contract(parts, rys, lead, h, q_block):
+    """sum_y T_i[(lead,y),q] * Ry_i[y,q] for a whole list in ONE
+    multiply+reduce (fewer, larger VPU ops than per-row contractions)."""
+    k = len(parts)
+    ts = jnp.concatenate(parts, axis=0).reshape(k * lead, h, q_block)
+    rr = jnp.concatenate(
+        [jnp.broadcast_to(r[None], (lead, h, q_block)) for r in rys], axis=0)
+    return jnp.sum(ts * rr, axis=1)
 
 
 def _fused_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
@@ -86,41 +101,42 @@ def _fused_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
         off = off_ref[n, 0]
         rx = _axis_onehots(x_ref[0, 0], sizes[0], cfg, off, valid, q_block)
         ry = _axis_onehots(y_ref[0, 0], sizes[1], cfg, off, valid, q_block)
+        # one wide MXU matmul for all three x-derivative orders
+        rx_cat = jnp.concatenate(rx, axis=1)            # (W, 3*Q)
         if dim == 2:
             h, w = spatial
             a = cells_ref[n].reshape(c * h, w)
-            t = [jax.lax.dot_general(a, rx[k], (((1,), (0,)), ((), ())),
-                                     precision=_HIGHEST,
-                                     preferred_element_type=jnp.float32)
-                 for k in range(3)]
-            val = _contract_y(t[0], ry[0], c, h, q_block)
-            jx = _contract_y(t[1], ry[0], c, h, q_block)
-            jy = _contract_y(t[0], ry[1], c, h, q_block)
-            hxx = _contract_y(t[2], ry[0], c, h, q_block)
-            hyy = _contract_y(t[0], ry[2], c, h, q_block)
-            rows = jnp.concatenate([val, jx, jy, hxx, hyy], axis=0)
+            t_cat = jax.lax.dot_general(
+                a, rx_cat, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                preferred_element_type=jnp.float32)      # (C*H, 3*Q)
+            t0 = t_cat[:, :q_block]
+            t1 = t_cat[:, q_block:2 * q_block]
+            t2 = t_cat[:, 2 * q_block:]
+            rows = _stacked_contract(
+                [t0, t1, t0, t2, t0], [ry[0], ry[0], ry[1], ry[0], ry[2]],
+                c, h, q_block)                           # (5*C, Q)
         else:
             rz = _axis_onehots(z_ref[0, 0], sizes[2], cfg, off, valid,
                                q_block)
             d, h, w = spatial
             a = cells_ref[n].reshape(c * d * h, w)
-            t = [jax.lax.dot_general(a, rx[k], (((1,), (0,)), ((), ())),
-                                     precision=_HIGHEST,
-                                     preferred_element_type=jnp.float32)
-                 for k in range(3)]
-            u00 = _contract_y(t[0], ry[0], c * d, h, q_block)
-            u10 = _contract_y(t[1], ry[0], c * d, h, q_block)
-            u20 = _contract_y(t[2], ry[0], c * d, h, q_block)
-            u01 = _contract_y(t[0], ry[1], c * d, h, q_block)
-            u02 = _contract_y(t[0], ry[2], c * d, h, q_block)
-            val = _contract_y(u00, rz[0], c, d, q_block)
-            jx = _contract_y(u10, rz[0], c, d, q_block)
-            jy = _contract_y(u01, rz[0], c, d, q_block)
-            jz = _contract_y(u00, rz[1], c, d, q_block)
-            hxx = _contract_y(u20, rz[0], c, d, q_block)
-            hyy = _contract_y(u02, rz[0], c, d, q_block)
-            hzz = _contract_y(u00, rz[2], c, d, q_block)
-            rows = jnp.concatenate([val, jx, jy, jz, hxx, hyy, hzz], axis=0)
+            t_cat = jax.lax.dot_general(
+                a, rx_cat, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+                preferred_element_type=jnp.float32)      # (C*D*H, 3*Q)
+            t0 = t_cat[:, :q_block]
+            t1 = t_cat[:, q_block:2 * q_block]
+            t2 = t_cat[:, 2 * q_block:]
+            # y-stage per-row (a 5x stacked version would exceed VMEM at
+            # C*D*H rows); z-stage stacked (rows are only C wide there)
+            u00 = _contract_y(t0, ry[0], c * d, h, q_block)
+            u10 = _contract_y(t1, ry[0], c * d, h, q_block)
+            u20 = _contract_y(t2, ry[0], c * d, h, q_block)
+            u01 = _contract_y(t0, ry[1], c * d, h, q_block)
+            u02 = _contract_y(t0, ry[2], c * d, h, q_block)
+            rows = _stacked_contract(
+                [u00, u10, u01, u00, u20, u02, u00],
+                [rz[0], rz[0], rz[0], rz[1], rz[0], rz[0], rz[2]],
+                c, d, q_block)                           # (7*C, Q)
         return acc + rows
 
     acc0 = jnp.zeros((k_rows * c, q_block), jnp.float32)

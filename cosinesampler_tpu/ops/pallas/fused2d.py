@@ -1,0 +1,241 @@
+"""v2 fused 2D kernels: shared-support gather (the multicell structure win).
+
+The PIXEL multicell trick shifts every cell's lattice by offset_n in [0, 1)
+(modules_2d.py:24-27).  Consequence: for one query with base pixel coord
+``b`` (before offsets), EVERY cell's floor index lies in {floor(b),
+floor(b)+1}, so the corners of ALL N cells live in a single shared 3x3
+texel patch.  That turns the gather into NINE one-hot matmuls shared by the
+whole ensemble:
+
+    V_ji[(n,c), q] = cells[(n,c), :] @ A_ji[:, q]      (M=N*C, K=H*W, N=Qb)
+
+with full MXU utilization (v1 pays K=16 per cell: ~6%), while per-cell work
+shrinks to VPU weight blending.  The fused transpose (bwd) uses the same
+A_ji with the contraction flipped.
+
+Scope: dim=2, padding_mode='zeros' (the only mode the reference exercises,
+test_2d.py:24), shared query points, cells resident in VMEM.  Other
+configurations fall back to the v1 kernels / XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SamplerConfig
+from ..coords import multicell_offsets, unnormalize
+from ..interpolants import corner_weights
+from .kernels import _valid_mask
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+# 256 is the sweet spot: 512 pushes the kernel's VMEM footprint past what
+# Mosaic can double-buffer and throughput collapses ~20x.
+V2_Q_BLOCK = 256
+
+# output rows (kx, ky): value, jac_x, jac_y, hess_xx, hess_yy
+_ROWS_2D = ((0, 0), (1, 0), (0, 1), (2, 0), (0, 2))
+
+
+def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
+    if cfg.dim != 2 or cfg.padding_mode != "zeros":
+        return False
+    n, c, h, w = cells_shape
+    if (n * c * h * w * 4 > vmem_budget or h * w * V2_Q_BLOCK * 4 >
+            vmem_budget):
+        return False
+    return True
+
+
+def _axis_prep(coord, size, cfg, off_col, q_block):
+    """Shared base one-hots + per-cell shifted weights for one axis.
+
+    Returns (hits, weights) where hits[j] is the (size, q_block) 0/1 row
+    selector for shared row floor(base)+j, and weights[k][j] is the
+    (N, q_block) order-k corner weight each cell contributes at shift j.
+    """
+    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
+                             0.0)
+    fb = jnp.floor(base)
+    fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size, q_block), 0)
+    hits = [(iota == fbi + j).astype(jnp.float32) for j in range(3)]
+
+    # Per-cell floor shift, computed exactly like the reference path
+    # (floor(base + off), kernel.cu:310): deriving it from frac(base)+off
+    # instead rounds differently at texel boundaries, flipping corners where
+    # the second derivative is discontinuous.
+    ixn = base + off_col                 # (N, q_block)
+    fxn = jnp.floor(ixn)
+    s = jnp.minimum(fxn - fb, 1.0)       # {0, 1}; the ulp case fxn==fb+2
+    t = ixn - (fb + s)                   # collapses to t == 1 there
+    scale = mult[0, 0]                   # static for zeros padding
+    weights = []
+    for k in range(3):
+        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
+        if k > 0:
+            w0 = w0 * scale**k
+            w1 = w1 * scale**k
+        ns = 1.0 - s
+        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
+    return hits, weights
+
+
+def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
+                         out_ref, *, cfg, spatial, q_block, channels,
+                         n_cells):
+    h, w = spatial
+    c = channels
+    n = n_cells
+    valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)   # (1, q_block)
+    off_col = off_ref[:, 0:1]                             # (N, 1)
+
+    hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
+    hy, wy = _axis_prep(y_ref[0], h, cfg, off_col, q_block)
+
+    cells_flat = cells_ref[:]                             # (N*C, H*W)
+    rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_2D]
+    for j in range(3):
+        for i in range(3):
+            a_ji = (hy[j][:, None, :] * hx[i][None, :, :]).reshape(
+                h * w, q_block)
+            v = jax.lax.dot_general(
+                cells_flat, a_ji, (((1,), (0,)), ((), ())),
+                precision=_HIGHEST,
+                preferred_element_type=jnp.float32)       # (N*C, Qb)
+            v = v.reshape(n, c, q_block)
+            for r, (kx, ky) in enumerate(_ROWS_2D):
+                coeff = wy[ky][j] * wx[kx][i]             # (N, Qb)
+                rows_acc[r] = rows_acc[r] + jnp.sum(
+                    coeff[:, None, :] * v, axis=0)
+    out = jnp.concatenate(rows_acc, axis=0) * valid       # (5*C, Qb)
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+def pallas_fused2_blend(cells, points, cfg: SamplerConfig,
+                        q_block: int = V2_Q_BLOCK, interpret: bool = False):
+    """(5, C, Q) fused multicell value/jac/diag-Hessian (v2, 2D/zeros)."""
+    n, c, h, w = cells.shape
+    q = points.shape[0]
+    qp = pl.cdiv(q, q_block) * q_block
+
+    pts = jnp.pad(points.astype(jnp.float32), ((0, qp - q), (0, 0)))
+    axes = [pts[:, i].reshape(qp // q_block, 1, q_block) for i in range(2)]
+    valid = _valid_mask(q, qp, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    cells_flat = cells.astype(jnp.float32).reshape(n * c, h * w)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _fused2_blend_kernel, cfg=cfg, spatial=(h, w), q_block=q_block,
+        channels=c, n_cells=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(qp // q_block,),
+        in_specs=[
+            coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n * c, h * w), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((5 * c, q_block), lambda qi: (0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5 * c, qp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, valid, offsets, cells_flat)
+    return out[:, :q].reshape(5, c, q).astype(cells.dtype)
+
+
+def _fused2_bwd_kernel(x_ref, y_ref, valid_ref, first_ref, off_ref, g_ref,
+                       out_ref, *, cfg, spatial, q_block, channels, n_cells):
+    h, w = spatial
+    c = channels
+    n = n_cells
+    valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+    off_col = off_ref[:, 0:1]
+
+    hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
+    hy, wy = _axis_prep(y_ref[0], h, cfg, off_col, q_block)
+
+    g = g_ref[:].reshape(5, c, q_block)
+
+    @pl.when(first_ref[0, 0, 0] > 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    contrib = jnp.zeros((n * c, h * w), jnp.float32)
+    for j in range(3):
+        for i in range(3):
+            a_ji = (hy[j][:, None, :] * hx[i][None, :, :]).reshape(
+                h * w, q_block)
+            p = jnp.zeros((n, c, q_block), jnp.float32)
+            for r, (kx, ky) in enumerate(_ROWS_2D):
+                coeff = wy[ky][j] * wx[kx][i]             # (N, Qb)
+                p = p + coeff[:, None, :] * (g[r] * valid)[None, :, :]
+            contrib = contrib + jax.lax.dot_general(
+                p.reshape(n * c, q_block), a_ji, (((1,), (1,)), ((), ())),
+                precision=_HIGHEST,
+                preferred_element_type=jnp.float32)       # (N*C, H*W)
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
+                      cfg: SamplerConfig, n_cells: int,
+                      q_block: int = V2_Q_BLOCK, interpret: bool = False):
+    """Cells-cotangent of pallas_fused2_blend: (N, C, H, W)."""
+    h, w = in_spatial
+    k_rows, c, q = g.shape
+    n = n_cells
+    qp = pl.cdiv(q, q_block) * q_block
+
+    pts = jnp.pad(points.astype(jnp.float32), ((0, qp - q), (0, 0)))
+    axes = [pts[:, i].reshape(qp // q_block, 1, q_block) for i in range(2)]
+    valid = _valid_mask(q, qp, q_block)
+    first = (jnp.arange(qp // q_block, dtype=jnp.int32) == 0).astype(
+        jnp.int32).reshape(qp // q_block, 1, 1)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    gq = jnp.pad(g.reshape(k_rows * c, q).astype(jnp.float32),
+                 ((0, 0), (0, qp - q)))
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _fused2_bwd_kernel, cfg=cfg, spatial=(h, w), q_block=q_block,
+        channels=c, n_cells=n)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(qp // q_block,),
+        in_specs=[
+            coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n * c, h * w), lambda qi: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * c, h * w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, valid, first, offsets, gq)
+    return acc.reshape(n, c, h, w).astype(g.dtype)

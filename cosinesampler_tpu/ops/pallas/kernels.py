@@ -147,17 +147,22 @@ def pallas_blend(input, grid, cfg: SamplerConfig, orders: Tuple[int, ...],
     q = math.prod(out_spatial)
     qp = pl.cdiv(q, q_block) * q_block
 
-    gf = grid.reshape(n, q, dim).astype(jnp.float32)
+    ng = grid.shape[0]            # 1 = queries shared across cells
+    gf = grid.reshape(ng, q, dim).astype(jnp.float32)
     gf = jnp.pad(gf, ((0, 0), (0, qp - q), (0, 0)))
-    # (N, n_qblocks, 1, q_block) so the trailing block dims match the
+    # (Ng, n_qblocks, 1, q_block) so the trailing block dims match the
     # Mosaic (sublane, lane) divisibility rules.
-    axes = [gf[:, :, i].reshape(n, qp // q_block, 1, q_block)
+    axes = [gf[:, :, i].reshape(ng, qp // q_block, 1, q_block)
             for i in range(dim)]
     while len(axes) < 3:
-        axes.append(jnp.zeros((n, qp // q_block, 1, q_block), jnp.float32))
+        axes.append(jnp.zeros((ng, qp // q_block, 1, q_block), jnp.float32))
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32).reshape(n, 1, 1)
 
-    coord_spec = pl.BlockSpec((1, 1, 1, q_block), lambda ni, qi: (ni, qi, 0, 0),
+    if ng == 1:
+        coord_index = lambda ni, qi: (0, qi, 0, 0)
+    else:
+        coord_index = lambda ni, qi: (ni, qi, 0, 0)
+    coord_spec = pl.BlockSpec((1, 1, 1, q_block), coord_index,
                               memory_space=pltpu.VMEM)
     valid = _valid_mask(q, qp, q_block)
     kernel = functools.partial(
@@ -247,17 +252,22 @@ def pallas_splat(gout, grid, in_spatial: Tuple[int, ...], cfg: SamplerConfig,
     q = math.prod(gout.shape[2:])
     qp = pl.cdiv(q, q_block) * q_block
 
-    gf = grid.reshape(n, q, dim).astype(jnp.float32)
+    ng = grid.shape[0]
+    gf = grid.reshape(ng, q, dim).astype(jnp.float32)
     gf = jnp.pad(gf, ((0, 0), (0, qp - q), (0, 0)))
-    axes = [gf[:, :, i].reshape(n, qp // q_block, 1, q_block)
+    axes = [gf[:, :, i].reshape(ng, qp // q_block, 1, q_block)
             for i in range(dim)]
     while len(axes) < 3:
-        axes.append(jnp.zeros((n, qp // q_block, 1, q_block), jnp.float32))
+        axes.append(jnp.zeros((ng, qp // q_block, 1, q_block), jnp.float32))
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32).reshape(n, 1, 1)
     gq = jnp.pad(gout.reshape(n, c, q).astype(jnp.float32),
                  ((0, 0), (0, 0), (0, qp - q)))
 
-    coord_spec = pl.BlockSpec((1, 1, 1, q_block), lambda ni, qi: (ni, qi, 0, 0),
+    if ng == 1:
+        coord_index = lambda ni, qi: (0, qi, 0, 0)
+    else:
+        coord_index = lambda ni, qi: (ni, qi, 0, 0)
+    coord_spec = pl.BlockSpec((1, 1, 1, q_block), coord_index,
                               memory_space=pltpu.VMEM)
     # accumulator layout: 2D (N, H, C*W); 3D (N, D*H, C*W) — the lane dim
     # is split into (C, W) outside the kernel (Mosaic cannot relayout it).

@@ -110,6 +110,8 @@ def differentiable_blend(cfg: SamplerConfig, orders: Tuple[int, ...]):
             blend_next = differentiable_blend(cfg, _bump(orders, ax))
             lanes.append((g * blend_next(input, grid)).sum(axis=1))
         grid_bar = jnp.stack(lanes, axis=-1).astype(grid.dtype)
+        if grid.shape[0] == 1 and grid_bar.shape[0] != 1:
+            grid_bar = grid_bar.sum(axis=0, keepdims=True)  # shared queries
         return input_bar, grid_bar
 
     blend_o.defvjp(blend_fwd, blend_bwd)
@@ -145,6 +147,8 @@ def differentiable_splat(cfg: SamplerConfig, orders: Tuple[int, ...],
             blend_next = differentiable_blend(cfg, _bump(orders, ax))
             lanes.append((gout * blend_next(cot, grid)).sum(axis=1))
         grid_bar = jnp.stack(lanes, axis=-1).astype(grid.dtype)
+        if grid.shape[0] == 1 and grid_bar.shape[0] != 1:
+            grid_bar = grid_bar.sum(axis=0, keepdims=True)
         return gout_bar, grid_bar
 
     splat_o.defvjp(splat_fwd, splat_bwd)
@@ -163,10 +167,10 @@ def _validate(input, grid, cfg: SamplerConfig):
             f"grid must be (N, {'D_out, ' if d == 3 else ''}H_out, W_out, {d}): "
             f"got {grid.shape}"
         )
-    if input.shape[0] != grid.shape[0]:
+    if grid.shape[0] not in (1, input.shape[0]):
         raise ValueError(
-            f"input and grid must share the cell/batch dim: "
-            f"{input.shape[0]} vs {grid.shape[0]}"
+            f"input and grid must share the cell/batch dim (or grid batch 1 "
+            f"for shared queries): {input.shape[0]} vs {grid.shape[0]}"
         )
 
 
