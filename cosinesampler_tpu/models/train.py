@@ -80,3 +80,42 @@ def train(cfg: TrainConfig,
                             {"params": params, "opt": opt_state})
     gen.close()
     return params, metrics
+
+
+def main(argv=None):
+    """CLI: python -m cosinesampler_tpu.models.train [--dim 2] [--steps N] ..."""
+    import argparse
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser(description="PIXEL-style PINN trainer")
+    ap.add_argument("--dim", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch-points", type=int, default=100_000)
+    ap.add_argument("--n-cells", type=int, default=96)
+    ap.add_argument("--cell-dim", type=int, default=4)
+    ap.add_argument("--cell-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pde", default=None, help="allen_cahn | helmholtz")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="use nested-autodiff instead of the fused kernels")
+    args = ap.parse_args(argv)
+
+    pde = args.pde or ("allen_cahn" if args.dim == 2 else "helmholtz")
+    cfg = TrainConfig(
+        model=pinn.PINNConfig(dim=args.dim, n_cells=args.n_cells,
+                              cell_dim=args.cell_dim,
+                              cell_size=args.cell_size, pde=pde),
+        batch_points=args.batch_points, steps=args.steps, lr=args.lr,
+        seed=args.seed, fused=not args.no_fused,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    train(cfg, on_metrics=lambda m: print(json.dumps(m), flush=True))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -185,7 +185,8 @@ def pallas_fused_blend(cells, points, cfg: SamplerConfig,
         out_shape=jax.ShapeDtypeStruct((k_rows * c, qp), jnp.float32),
         interpret=interpret,
     )(*axes, valid, offsets, cells.astype(jnp.float32))
-    return out[:, :q].reshape(k_rows, c, q).astype(cells.dtype)
+    out_dtype = jnp.promote_types(cells.dtype, points.dtype)
+    return out[:, :q].reshape(k_rows, c, q).astype(out_dtype)
 
 
 def _fused_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, first_ref, off_ref,
@@ -300,4 +301,4 @@ def pallas_fused_bwd(g, points, in_spatial: Tuple[int, ...],
     else:
         acc = acc.reshape(n_cells, in_spatial[0], in_spatial[1], c, w_sz)
         out = acc.transpose(0, 3, 1, 2, 4)
-    return out.astype(g.dtype)
+    return out.astype(jnp.promote_types(g.dtype, points.dtype))

@@ -156,7 +156,8 @@ def pallas_fused2_blend(cells, points, cfg: SamplerConfig,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, valid, offsets, cells_flat)
-    return out[:, :q].reshape(5, c, q).astype(cells.dtype)
+    return out[:, :q].reshape(5, c, q).astype(
+        jnp.promote_types(cells.dtype, points.dtype))
 
 
 def _fused2_bwd_kernel(x_ref, y_ref, valid_ref, first_ref, off_ref, g_ref,
@@ -238,4 +239,5 @@ def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, valid, first, offsets, gq)
-    return acc.reshape(n, c, h, w).astype(g.dtype)
+    return acc.reshape(n, c, h, w).astype(
+        jnp.promote_types(g.dtype, points.dtype))

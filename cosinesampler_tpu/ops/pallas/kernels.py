@@ -185,7 +185,8 @@ def pallas_blend(input, grid, cfg: SamplerConfig, orders: Tuple[int, ...],
         out_shape=jax.ShapeDtypeStruct((n, c, qp), jnp.float32),
         interpret=interpret,
     )(*axes, valid, offsets, input.astype(jnp.float32))
-    return out[:, :, :q].reshape(n, c, *out_spatial).astype(input.dtype)
+    out_dtype = jnp.promote_types(input.dtype, grid.dtype)
+    return out[:, :, :q].reshape(n, c, *out_spatial).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -308,4 +309,4 @@ def pallas_splat(gout, grid, in_spatial: Tuple[int, ...], cfg: SamplerConfig,
     else:
         acc = acc.reshape(n, in_spatial[0], in_spatial[1], c, w_sz)
         out = acc.transpose(0, 3, 1, 2, 4)         # (N, C, D, H, W)
-    return out.astype(gout.dtype)
+    return out.astype(jnp.promote_types(gout.dtype, grid.dtype))

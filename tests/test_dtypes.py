@@ -1,0 +1,45 @@
+"""dtype handling: bf16 cells, f32 grids, output dtype follows the input."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosinesampler_tpu.ops import fused
+from cosinesampler_tpu.ops.config import SamplerConfig
+from cosinesampler_tpu.ops.sampler import sample
+
+
+def test_bf16_cells_sample():
+    rng = np.random.RandomState(0)
+    cells32 = jnp.asarray(rng.rand(4, 2, 8, 8), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 1, 64, 2)), jnp.float32)
+    cfg = SamplerConfig(dim=2, backend="xla")
+    out16 = sample(cells32.astype(jnp.bfloat16), grid, cfg)
+    out32 = sample(cells32, grid, cfg)
+    # bf16 cells x f32 grid promote to f32 compute/output (both backends)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(out16, out32, rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_cells_fused():
+    rng = np.random.RandomState(1)
+    cells32 = jnp.asarray(rng.rand(4, 2, 8, 8), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 2)), jnp.float32)
+    cfg = SamplerConfig(dim=2, backend="xla")
+    out16 = fused.sample_features_with_derivs(
+        cells32.astype(jnp.bfloat16), pts, cfg)
+    out32 = fused.sample_features_with_derivs(cells32, pts, cfg)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(out16, out32, rtol=3e-2, atol=0.3)
+
+
+def test_f64_exactness_xla_backend():
+    rng = np.random.RandomState(2)
+    cells = jnp.asarray(rng.rand(4, 2, 8, 8))          # f64 under x64
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 1, 64, 2)))
+    cfg = SamplerConfig(dim=2, backend="xla")
+    out = sample(cells, grid, cfg)
+    assert out.dtype == jnp.float64
+    g = jax.grad(lambda c: sample(c, grid, cfg).sum())(cells)
+    assert g.dtype == jnp.float64
