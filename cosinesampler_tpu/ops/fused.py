@@ -61,9 +61,35 @@ def xla_fused_blend(cells, points, cfg: SamplerConfig):
     return jnp.stack(outs, axis=0)              # (1+2d, C, Q)
 
 
+BWD_CHUNK = 1 << 18  # queries per scatter chunk in the XLA fallback
+
+
 def xla_fused_bwd(g, points, in_spatial, cfg: SamplerConfig, n_cells: int):
-    """Cells-cotangent: one generic.splat per term (cell-broadcast g)."""
+    """Cells-cotangent: one generic.splat per term (cell-broadcast g).
+
+    Large query clouds are processed in chunks (scan-accumulated): the
+    unchunked scatter graph at the 128^3 x 1M-point sweep overflows HBM by
+    materializing every corner contribution at once.
+    """
     c, q = g.shape[1:]
+    if q > BWD_CHUNK:
+        n_chunks = -(-q // BWD_CHUNK)
+        qp = n_chunks * BWD_CHUNK
+        gp = jnp.pad(g, ((0, 0), (0, 0), (0, qp - q)))
+        pp = jnp.pad(points, ((0, qp - q), (0, 0)),
+                     constant_values=-3.0)  # OOB pad: contributes zero
+        gp = gp.reshape(1 + 2 * cfg.dim, c, n_chunks, BWD_CHUNK)
+        pp = pp.reshape(n_chunks, BWD_CHUNK, cfg.dim)
+
+        def body(acc, idx):
+            part = xla_fused_bwd(gp[:, :, idx], pp[idx], in_spatial, cfg,
+                                 n_cells)
+            return acc + part, ()
+
+        zero = jnp.zeros((n_cells, c, *in_spatial), g.dtype)
+        acc, _ = jax.lax.scan(body, zero, jnp.arange(n_chunks))
+        return acc
+
     grid = _points_to_grid(points, n_cells)
     total = None
     for row, o in enumerate(_all_orders(cfg.dim)):
