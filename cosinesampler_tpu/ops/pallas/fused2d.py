@@ -99,7 +99,7 @@ def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
     hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
     hy, wy = _axis_prep(y_ref[0], h, cfg, off_col, q_block)
 
-    cells_flat = cells_ref[:]                             # (N*C, H*W)
+    cells_flat = cells_ref[:]                             # (C*N, H*W)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_2D]
     for j in range(3):
         for i in range(3):
@@ -108,12 +108,14 @@ def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
             v = jax.lax.dot_general(
                 cells_flat, a_ji, (((1,), (0,)), ((), ())),
                 precision=_HIGHEST,
-                preferred_element_type=jnp.float32)       # (N*C, Qb)
-            v = v.reshape(n, c, q_block)
+                preferred_element_type=jnp.float32)       # (C*N, Qb)
+            # (C, N, Qb): the reduced/broadcast dims sit on the well-tiled
+            # minor axes; (N, C, Qb) would pad C=4 sublanes to 8
+            v = v.reshape(c, n, q_block)
             for r, (kx, ky) in enumerate(_ROWS_2D):
                 coeff = wy[ky][j] * wx[kx][i]             # (N, Qb)
                 rows_acc[r] = rows_acc[r] + jnp.sum(
-                    coeff[:, None, :] * v, axis=0)
+                    coeff[None, :, :] * v, axis=1)
     out = jnp.concatenate(rows_acc, axis=0) * valid       # (5*C, Qb)
     out_ref[:] = out
 
@@ -130,7 +132,8 @@ def pallas_fused2_blend(cells, points, cfg: SamplerConfig,
     axes = [pts[:, i].reshape(qp // q_block, 1, q_block) for i in range(2)]
     valid = _valid_mask(q, qp, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    cells_flat = cells.astype(jnp.float32).reshape(n * c, h * w)
+    cells_flat = cells.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
+        c * n, h * w)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -177,19 +180,20 @@ def _fused2_bwd_kernel(x_ref, y_ref, valid_ref, first_ref, off_ref, g_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    contrib = jnp.zeros((n * c, h * w), jnp.float32)
+    gv = [g[r] * valid for r in range(5)]                 # (C, Qb) each
+    contrib = jnp.zeros((c * n, h * w), jnp.float32)
     for j in range(3):
         for i in range(3):
             a_ji = (hy[j][:, None, :] * hx[i][None, :, :]).reshape(
                 h * w, q_block)
-            p = jnp.zeros((n, c, q_block), jnp.float32)
+            p = jnp.zeros((c, n, q_block), jnp.float32)
             for r, (kx, ky) in enumerate(_ROWS_2D):
                 coeff = wy[ky][j] * wx[kx][i]             # (N, Qb)
-                p = p + coeff[:, None, :] * (g[r] * valid)[None, :, :]
+                p = p + coeff[None, :, :] * gv[r][:, None, :]
             contrib = contrib + jax.lax.dot_general(
-                p.reshape(n * c, q_block), a_ji, (((1,), (1,)), ((), ())),
+                p.reshape(c * n, q_block), a_ji, (((1,), (1,)), ((), ())),
                 precision=_HIGHEST,
-                preferred_element_type=jnp.float32)       # (N*C, H*W)
+                preferred_element_type=jnp.float32)       # (C*N, H*W)
     out_ref[:] += contrib
 
 
@@ -232,12 +236,12 @@ def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n * c, h * w), lambda qi: (0, 0),
+        out_specs=pl.BlockSpec((c * n, h * w), lambda qi: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * c, h * w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c * n, h * w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, valid, first, offsets, gq)
-    return acc.reshape(n, c, h, w).astype(
+    return acc.reshape(c, n, h, w).transpose(1, 0, 2, 3).astype(
         jnp.promote_types(g.dtype, points.dtype))
