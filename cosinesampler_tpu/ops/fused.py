@@ -23,8 +23,6 @@ derivatives w.r.t. the points are exact via the blend family.
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Tuple
 
 import jax

@@ -21,7 +21,6 @@ configurations fall back to the v1 kernels / XLA.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

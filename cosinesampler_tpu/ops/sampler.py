@@ -29,7 +29,6 @@ not to an XLA-retraced derivative graph.
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
