@@ -154,7 +154,37 @@ def _bench_3d(optimizer):
     return _bench(step, params, opt_state, pts, "fused3d@100k")
 
 
+def _arm_watchdog(seconds: int = 1800):
+    """Emit an honest failure line and exit if the TPU tunnel wedges.
+
+    The remote-TPU terminal can die in a way that blocks jax.devices()/
+    compiles forever (observed after repeated device faults); without this
+    the driver would hang instead of recording a failed benchmark.
+    """
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "2D multicell PINN train iters/sec "
+                      "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order)",
+            "value": 0.0,
+            "unit": "iters/sec",
+            "vs_baseline": 0.0,
+            "extra": {"error": "TPU tunnel unresponsive; benchmark aborted "
+                               f"after {seconds}s (see BENCHMARKS.md for "
+                               "the last recorded numbers)"},
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog()
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 2)),
                       dtype=jnp.float32)
@@ -204,6 +234,7 @@ def main():
         log(f"3d bench failed ({type(e).__name__})")
         ips_3d = float("nan")
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "2D multicell PINN train iters/sec "
                   "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order; "
