@@ -1,6 +1,7 @@
 from .api import (CosineSampler2d, CosineSampler3d, cosine_sampler_2d,
                   cosine_sampler_3d)
 from .config import SamplerConfig
+from .fused import sample_features_with_derivs
 from .sampler import differentiable_blend, differentiable_splat, sample
 from . import pallas as _pallas_backend  # noqa: F401  (registers the backend)
 
@@ -13,4 +14,5 @@ __all__ = [
     "differentiable_blend",
     "differentiable_splat",
     "sample",
+    "sample_features_with_derivs",
 ]
