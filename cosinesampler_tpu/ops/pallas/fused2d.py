@@ -31,9 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SamplerConfig
 from ..coords import multicell_offsets, unnormalize
 from ..interpolants import corner_weights
+from . import mxu
 from .kernels import _valid_mask
 
-_HIGHEST = jax.lax.Precision.HIGHEST
 # 256 is the sweet spot: 512 pushes the kernel's VMEM footprint past what
 # Mosaic can double-buffer and throughput collapses ~20x.
 V2_Q_BLOCK = 256
@@ -98,16 +98,17 @@ def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
     hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
     hy, wy = _axis_prep(y_ref[0], h, cfg, off_col, q_block)
 
-    cells_flat = cells_ref[:]                             # (C*N, H*W)
+    # Split the resident cell stack into exact bf16 terms ONCE; each of the
+    # 9 one-hot panels then contracts in EXACT_PASSES MXU passes instead of
+    # HIGHEST's 6 (see mxu.py — the selector is exactly bf16-representable).
+    cells_terms = mxu.split_bf16(cells_ref[:], mxu.EXACT_PASSES)  # (C*N, H*W)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_2D]
     for j in range(3):
         for i in range(3):
             a_ji = (hy[j][:, None, :] * hx[i][None, :, :]).reshape(
                 h * w, q_block)
-            v = jax.lax.dot_general(
-                cells_flat, a_ji, (((1,), (0,)), ((), ())),
-                precision=_HIGHEST,
-                preferred_element_type=jnp.float32)       # (C*N, Qb)
+            v = mxu.onehot_dot_terms(
+                cells_terms, a_ji, (((1,), (0,)), ((), ())))  # (C*N, Qb)
             # (C, N, Qb): the reduced/broadcast dims sit on the well-tiled
             # minor axes; (N, C, Qb) would pad C=4 sublanes to 8
             v = v.reshape(c, n, q_block)
@@ -189,10 +190,9 @@ def _fused2_bwd_kernel(x_ref, y_ref, valid_ref, first_ref, off_ref, g_ref,
             for r, (kx, ky) in enumerate(_ROWS_2D):
                 coeff = wy[ky][j] * wx[kx][i]             # (N, Qb)
                 p = p + coeff[None, :, :] * gv[r][:, None, :]
-            contrib = contrib + jax.lax.dot_general(
-                p.reshape(c * n, q_block), a_ji, (((1,), (1,)), ((), ())),
-                precision=_HIGHEST,
-                preferred_element_type=jnp.float32)       # (C*N, H*W)
+            contrib = contrib + mxu.onehot_dot(
+                p.reshape(c * n, q_block), a_ji,
+                (((1,), (1,)), ((), ())))                 # (C*N, H*W)
     out_ref[:] += contrib
 
 

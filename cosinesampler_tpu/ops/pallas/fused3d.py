@@ -28,9 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SamplerConfig
 from ..coords import multicell_offsets, unnormalize
 from ..interpolants import corner_weights
+from . import mxu
 from .kernels import _valid_mask
 
-_HIGHEST = jax.lax.Precision.HIGHEST
 V3_Q_BLOCK = 256
 
 # output rows (kx, ky, kz): value, jac_x, jac_y, jac_z, hess_xx/yy/zz
@@ -91,7 +91,9 @@ def _fused3_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
     hy, wy = _axis_prep(y_ref[0], h, cfg, off_col, q_block)
     hz, wz = _axis_prep(z_ref[0], d, cfg, off_col, q_block)
 
-    cells_flat = cells_ref[:]                              # (C*N, D*H*W)
+    # Exact bf16 split of the resident volume, computed once and contracted
+    # against all 27 one-hot panels (see mxu.py).
+    cells_terms = mxu.split_bf16(cells_ref[:], mxu.EXACT_PASSES)  # (C*N, DHW)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
     for k in range(3):
         for j in range(3):
@@ -100,10 +102,8 @@ def _fused3_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
             for i in range(3):
                 a = (zy[:, None, :] * hx[i][None, :, :]).reshape(
                     d * h * w, q_block)
-                v = jax.lax.dot_general(
-                    cells_flat, a, (((1,), (0,)), ((), ())),
-                    precision=_HIGHEST,
-                    preferred_element_type=jnp.float32)    # (C*N, Qb)
+                v = mxu.onehot_dot_terms(
+                    cells_terms, a, (((1,), (0,)), ((), ())))  # (C*N, Qb)
                 v = v.reshape(c, n, q_block)
                 for r, (kx, ky, kz) in enumerate(_ROWS_3D):
                     coeff = wz[kz][k] * wy[ky][j] * wx[kx][i]   # (N, Qb)
@@ -188,10 +188,9 @@ def _fused3_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, first_ref, off_ref,
                 for r, (kx, ky, kz) in enumerate(_ROWS_3D):
                     coeff = wz[kz][k] * wy[ky][j] * wx[kx][i]
                     p = p + coeff[None, :, :] * gv[r][:, None, :]
-                contrib = contrib + jax.lax.dot_general(
-                    p.reshape(c * n, q_block), a, (((1,), (1,)), ((), ())),
-                    precision=_HIGHEST,
-                    preferred_element_type=jnp.float32)    # (C*N, D*H*W)
+                contrib = contrib + mxu.onehot_dot(
+                    p.reshape(c * n, q_block), a,
+                    (((1,), (1,)), ((), ())))              # (C*N, D*H*W)
     out_ref[:] += contrib
 
 
