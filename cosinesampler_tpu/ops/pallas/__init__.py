@@ -12,7 +12,7 @@ import math
 
 from .. import generic
 from ..sampler import register_backend
-from . import fused2d, fused3d
+from . import fused2d, fused3d, fused3s
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 
@@ -50,6 +50,9 @@ def _fused_blend(cells, points, cfg):
     if fused2d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_blend(cells, points, cfg,
                                            interpret=INTERPRET)
+    if fused3s.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
+        return fused3s.pallas_fused3s_blend(cells, points, cfg,
+                                            interpret=INTERPRET)
     if fused3d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused3d.pallas_fused3_blend(cells, points, cfg,
                                            interpret=INTERPRET)
@@ -63,6 +66,9 @@ def _fused_bwd(g, points, in_spatial, cfg, n_cells):
     if fused2d.supports(cfg, shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_bwd(g, points, tuple(in_spatial), cfg,
                                          n_cells, interpret=INTERPRET)
+    if fused3s.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
+        return fused3s.pallas_fused3s_bwd(g, points, tuple(in_spatial), cfg,
+                                          n_cells, interpret=INTERPRET)
     if fused3d.supports(cfg, shape, _VMEM_BUDGET):
         return fused3d.pallas_fused3_bwd(g, points, tuple(in_spatial), cfg,
                                          n_cells, interpret=INTERPRET)

@@ -15,14 +15,18 @@ see CLAUDE.md), on fresh inputs so the runtime can't replay.
 2D is not MXU-pass-bound (differences are tunnel noise); 3D is (K=4096
 one-hot contractions) and the exact 3-pass split nearly halves it.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cosinesampler_tpu.ops.config import SamplerConfig
-from cosinesampler_tpu.ops.pallas import mxu, fused2d, fused3d
+from cosinesampler_tpu.ops.pallas import mxu, fused2d, fused3d, fused3s
 
 Q = 100_000
 
@@ -61,9 +65,12 @@ def main():
         "b2": lambda gg, p: fused2d.pallas_fused2_bwd(gg, p, (16, 16), cfg2, 96),
         "f3": lambda c, p: fused3d.pallas_fused3_blend(c, p, cfg3),
         "b3": lambda gg, p: fused3d.pallas_fused3_bwd(gg, p, (16, 16, 16), cfg3, 50),
+        "f3s": lambda c, p: fused3s.pallas_fused3s_blend(c, p, cfg3),
+        "b3s": lambda gg, p: fused3s.pallas_fused3s_bwd(gg, p, (16, 16, 16), cfg3, 50),
     }
     args = {"f2": (cells2, pts2), "b2": (g2, pts2),
-            "f3": (cells3, pts3), "b3": (g3, pts3)}
+            "f3": (cells3, pts3), "b3": (g3, pts3),
+            "f3s": (cells3, pts3), "b3s": (g3, pts3)}
 
     ref = {}
     for passes in (6, 3, 2):
@@ -75,6 +82,10 @@ def main():
             if passes == 6:
                 ref[name] = out
                 err = ""
+                if name.endswith("s"):  # v3 vs v2 cross-kernel parity
+                    base = ref[name[:-1]]
+                    err = (f" vs-v2 relerr="
+                           f"{np.abs(out - base).max() / np.abs(base).max():.2e}")
             else:
                 scale = np.abs(ref[name]).max()
                 err = f" relerr={np.abs(out - ref[name]).max() / scale:.2e}"
