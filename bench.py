@@ -154,6 +154,39 @@ def _bench_3d(optimizer):
     return _bench(step, params, opt_state, pts, "fused3d@100k")
 
 
+def _bench_large_sweep():
+    """v4 bricked fused fwd at BASELINE config 5 (16 x 4 x 128^3, 1M pts).
+
+    Mpts/s for the single fused value/jac/diag-Hessian pass; the XLA
+    fallback measures 0.6 Mpts/s and its gradient faults (BENCHMARKS.md).
+    """
+    from cosinesampler_tpu.ops.pallas import fused3b
+
+    rng = np.random.RandomState(7)
+    cfg = SamplerConfig(dim=3, kernel="cosine", multicell=True)
+    cells = jnp.asarray(rng.rand(16, 4, 128, 128, 128), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.95, 0.95, (1_000_000, 3)), jnp.float32)
+    reps = 5
+
+    @jax.jit
+    def many(p, c):
+        def body(p, _):
+            out = fused3b.pallas_fused3b_blend(c, p, cfg)
+            return p + 1e-30 * out[0, 0, 0], out[0, 0, 0]
+        carry, ticks = jax.lax.scan(body, p, None, length=reps)
+        return ticks.sum() + carry.sum()
+
+    r = many(pts, cells)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = many(pts * 0.999, cells)
+    jax.block_until_ready(r)
+    sec = (time.perf_counter() - t0) / reps
+    mpts = 1.0 / sec
+    log(f"large sweep v4 fwd: {sec * 1e3:.0f} ms = {mpts:.1f} Mpts/s")
+    return mpts
+
+
 def _arm_watchdog(seconds: int = 1800):
     """Emit an honest failure line and exit if the TPU tunnel wedges.
 
@@ -233,6 +266,11 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"3d bench failed ({type(e).__name__})")
         ips_3d = float("nan")
+    try:
+        mpts_large = _bench_large_sweep()
+    except Exception as e:  # pragma: no cover
+        log(f"large sweep failed ({type(e).__name__})")
+        mpts_large = float("nan")
 
     watchdog.cancel()
     print(json.dumps({
@@ -247,6 +285,8 @@ def main():
             "fused_fwd_kernel_us": round(kernel_sec * 1e6, 1),
             "fused_fwd_hbm_pct_of_v5e_peak": round(hbm_pct, 1),
             "pinn3d_helmholtz_50x4x16c_100k_iters_per_sec": round(ips_3d, 3),
+            "large_sweep_16x4x128c_1M_fused_fwd_mpts_per_sec":
+                round(mpts_large, 2),
         },
     }))
 

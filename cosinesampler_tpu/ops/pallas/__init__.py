@@ -3,16 +3,17 @@
 Kernels keep the cell block and the stage-1 contraction resident in VMEM,
 which bounds the grid sizes they accept (plenty for the reference's 16^2 /
 16^3 workloads, up to ~256^2 / ~32^3).  Larger volumes (the 128^3 sweep,
-BASELINE.md config 5) fall back to the XLA gather/scatter path
-transparently — binned/bricked large-volume kernels are the designated
-next optimization.
+BASELINE.md config 5) route to the v4 bricked kernels (fused3b.py:
+HBM-resident volume, bin-sorted queries, per-brick DMA) when the query
+cloud is large enough to amortize the bins, else to the XLA gather/scatter
+path.
 """
 
 import math
 
 from .. import generic
 from ..sampler import register_backend
-from . import fused2d, fused3d, fused3s
+from . import fused2d, fused3b, fused3d, fused3s
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 
@@ -53,6 +54,9 @@ def _fused_blend(cells, points, cfg):
     if fused3s.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
         return fused3s.pallas_fused3s_blend(cells, points, cfg,
                                             interpret=INTERPRET)
+    if fused3b.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
+        return fused3b.pallas_fused3b_blend(cells, points, cfg,
+                                            interpret=INTERPRET)
     if fused3d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused3d.pallas_fused3_blend(cells, points, cfg,
                                            interpret=INTERPRET)
@@ -68,6 +72,9 @@ def _fused_bwd(g, points, in_spatial, cfg, n_cells):
                                          n_cells, interpret=INTERPRET)
     if fused3s.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
         return fused3s.pallas_fused3s_bwd(g, points, tuple(in_spatial), cfg,
+                                          n_cells, interpret=INTERPRET)
+    if fused3b.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
+        return fused3b.pallas_fused3b_bwd(g, points, tuple(in_spatial), cfg,
                                           n_cells, interpret=INTERPRET)
     if fused3d.supports(cfg, shape, _VMEM_BUDGET):
         return fused3d.pallas_fused3_bwd(g, points, tuple(in_spatial), cfg,

@@ -1,0 +1,431 @@
+"""v4 bricked 3D fused kernels for HBM-resident (large) volumes.
+
+The v3 kernels (fused3s.py) keep the whole volume resident in VMEM, which
+caps them near ~24^3 at the reference channel counts.  The 128^3 sweep
+(BASELINE config 5) previously fell back to the XLA gather/scatter path:
+the forward gather worked but was slow, and the scatter-add gradient
+either overflowed HBM unchunked or tripped a TPU runtime fault chunked.
+v4 removes the VMEM residency requirement:
+
+1. Queries are sorted by a fused bin key ``(floor(base_z),
+   floor(base_y) // GY)`` with one ``lax.sort_key_val`` (the dense
+   one-hot counting sort of v3 does not scale to the ~8k bins this
+   produces, and slot-level ``searchsorted`` is ~20x slower on TPU than
+   the scatter+cumsum used here); each padded bin occupies whole query
+   blocks, so every kernel block's queries share one 3-slab x
+   (GY+2)-row "brick" of the volume.
+2. The volume lives in HBM (``pl.ANY``), zero-padded by 2 texels on z
+   and y so brick windows never clamp; each block DMAs its
+   (3, C*N, GY+2, W) brick into VMEM scratch.
+3. The 27-corner gather runs as a separable two-stage contraction:
+   an MXU stage over x (3 one-hot matmuls at K=W against all
+   3*(GY+2)*C*N brick rows) and a VPU stage over the (GY+2)-row window
+   (one-hot row blend) — ~3x fewer MXU cycles than contracting 9
+   whole-window (y,x) panels.
+4. The gradient scatter is a sequential-grid read-modify-write of the
+   same bricks: TPU Pallas grid steps execute in order on the core, so
+   accumulation is deterministic and race-free without atomics (the
+   CUDA reference leans on fastAtomicAdd for this,
+   cosine_sampler_3d_kernel.cu:506-523).
+
+Out-of-bounds semantics match the reference CUDA bounds-check-to-zero
+(cosine_sampler_3d_kernel.cu:343-369): the x axis via the one-hot hits,
+y/z via bin-membership masks plus the cropped pad margins.  Scope is
+padding_mode='zeros' + shared query points, like fused2d/fused3s, and
+W must be a multiple of 128 (Mosaic requires the brick DMA slice's lane
+dim to be 128-aligned; narrower volumes fall back).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SamplerConfig
+from ..coords import multicell_offsets, unnormalize
+from ..interpolants import corner_weights
+from . import mxu
+from .fused3d import _axis_prep, _ROWS_3D
+from .fused3s import _z_weights
+
+V3B_Q_BLOCK = 128
+V3B_GY = 2            # y rows per bin; brick window is GY + 2 rows
+_HBM_BUDGET = 4 << 30  # bytes for the padded HBM-resident volume
+# Below ~this many queries per bin the padding blocks dominate the brick
+# kernels; small clouds on large volumes stay on the XLA path.
+_MIN_Q_PER_BIN = 16
+
+
+def _geom(d: int, h: int, gy: int):
+    nby = -(-(h + 2) // gy)
+    nbz = d + 2
+    return nby, nbz, nby * nbz, nby * gy + 2   # (nby, nbz, nbins, padded H)
+
+
+def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
+             n_queries: int | None = None) -> bool:
+    if cfg.dim != 3 or cfg.padding_mode != "zeros":
+        return False
+    n, c, d, h, w = cells_shape
+    if w % 128 != 0:
+        # Mosaic requires the brick DMA slice's lane (W) dim to be
+        # 128-aligned; narrower volumes stay on the VMEM-resident or XLA
+        # paths.
+        return False
+    wy = V3B_GY + 2
+    if 3 * n * c * wy * w * 4 > vmem_budget:        # brick scratch
+        return False
+    if 3 * n * c * wy * V3B_Q_BLOCK * 4 > vmem_budget:  # stage-1 panel
+        return False
+    nby, _, nbins, hp = _geom(d, h, V3B_GY)
+    if (d + 4) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
+        return False
+    if n_queries is not None and n_queries < _MIN_Q_PER_BIN * nbins:
+        return False
+    return True
+
+
+def _step_starts(offs, length, granularity=1):
+    """bin index per position via scatter+cumsum (offs must be sorted).
+
+    Equivalent to ``searchsorted(cum, pos, 'right')`` but ~20x faster on
+    TPU: mark each bin's start position, running-sum the marks.
+    Zero-width bins stack their marks on one slot; the cumsum then skips
+    them, so each position lands on the LAST bin starting at or before it
+    — exactly the owner, since earlier zero-width bins own no positions.
+    """
+    mark = jnp.zeros((length,), jnp.int32).at[offs // granularity].add(
+        1, mode="drop")
+    return jnp.cumsum(mark) - 1
+
+
+def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
+               gy: int):
+    """Sort queries by (floor(base_z), floor(base_y) // gy) with per-bin
+    block padding.
+
+    Returns (positions, inv, z0, y0, hasv, qp): ``positions[q]`` is query
+    q's slot in the padded layout, ``inv`` the slot->query map (-1 =
+    padding), ``z0``/``y0`` the per-block brick origin in the PADDED
+    volume (z0 = fz + 2, y0 = group * gy), ``hasv`` whether the block has
+    any real query, ``qp`` the static padded slot count.
+    """
+    q = points.shape[0]
+    nby, nbz, nbins, _ = _geom(d, h, gy)
+    bz_f, _ = unnormalize(points[:, 2].astype(jnp.float32), d,
+                          cfg.align_corners, cfg.multicell, 0.0)
+    by_f, _ = unnormalize(points[:, 1].astype(jnp.float32), h,
+                          cfg.align_corners, cfg.multicell, 0.0)
+    fz = jnp.floor(jax.lax.stop_gradient(bz_f)).astype(jnp.int32)
+    fy = jnp.floor(jax.lax.stop_gradient(by_f)).astype(jnp.int32)
+    bz = jnp.clip(fz + 2, 0, nbz - 1)
+    by = jnp.clip((fy + 2) // gy, 0, nby - 1)
+    key = (bz * nby + by).astype(jnp.int32)
+
+    iota = jnp.arange(q, dtype=jnp.int32)
+    skey, perm = jax.lax.sort_key_val(key, iota)
+    iperm = jnp.argsort(perm, stable=True).astype(jnp.int32)
+    edges = jnp.searchsorted(
+        skey, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = edges[1:] - edges[:-1]
+    padded = ((counts + q_block - 1) // q_block) * q_block
+    cum_padded = jnp.cumsum(padded).astype(jnp.int32)   # inclusive
+    offs = cum_padded - padded                          # exclusive starts
+
+    start = edges[:-1]
+    srank = jnp.arange(q, dtype=jnp.int32) - start[skey]
+    spos = offs[skey] + srank
+    positions = spos[iperm]
+
+    qp = (pl.cdiv(q, q_block) + nbins) * q_block        # static upper bound
+    slots = jnp.arange(qp, dtype=jnp.int32)
+    b = jnp.minimum(_step_starts(offs, qp), nbins - 1)
+    r = slots - offs[b]
+    occupied = (r >= 0) & (r < counts[b])
+    inv = jnp.where(
+        occupied, perm[jnp.clip(start[b] + r, 0, max(q - 1, 0))], -1)
+
+    nblocks = qp // q_block
+    bbin = jnp.minimum(_step_starts(offs, nblocks, granularity=q_block),
+                       nbins - 1)
+    z0 = bbin // nby
+    y0 = (bbin % nby) * gy
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    hasv = (inv[bi * q_block] >= 0).astype(jnp.int32)
+    return positions, inv, z0, y0, hasv, qp
+
+
+def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
+    """Window-local y one-hots + per-cell weights + bin-membership mask.
+
+    ``start`` is the block's brick origin in the padded volume; the padded
+    row of corner j for a query with fy = floor(base) is fy + 2 + j, so
+    the window-local hit row is fy + 2 - start + j.  Queries whose fy is
+    outside the block's y group (clipped far-OOB bins) are masked.
+    """
+    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
+                             0.0)
+    fb = jnp.floor(base)
+    loc = fb + 2.0 - start.astype(jnp.float32)          # (1, Qb)
+    ymask = ((loc >= 0.0) & (loc <= float(gy - 1))).astype(jnp.float32)
+    loci = jnp.clip(loc, 0.0, float(gy - 1)).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (gy + 2, q_block), 0)
+    hits = [(iota == loci + j).astype(jnp.float32) for j in range(3)]
+
+    ixn = base + off_col
+    fxn = jnp.floor(ixn)
+    s = jnp.minimum(fxn - fb, 1.0)
+    t = ixn - (fb + s)
+    scale = mult[0, 0]
+    weights = []
+    for k in range(3):
+        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
+        if k > 0:
+            w0 = w0 * scale**k
+            w1 = w1 * scale**k
+        ns = 1.0 - s
+        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
+    return hits, weights, ymask
+
+
+def _pad_volume(cells, d, h, w, hp):
+    """(N,C,D,H,W) -> zero-padded (D+4, C*N, Hp, W) HBM layout."""
+    n, c = cells.shape[:2]
+    cells_f = cells.astype(jnp.float32).transpose(2, 1, 0, 3, 4).reshape(
+        d, c * n, h, w)
+    return jnp.pad(cells_f, ((2, 2), (0, 0), (2, hp - h - 2), (0, 0)))
+
+
+def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
+                          hasv_ref, off_ref, vol_ref, out_ref, scratch, sem,
+                          *, cfg, spatial, gy, q_block, channels, n_cells):
+    d, h, w = spatial
+    c = channels
+    n = n_cells
+    wy_rows = gy + 2
+    z0 = z0_ref[0, 0, 0]
+    y0 = y0_ref[0, 0, 0]
+
+    @pl.when(hasv_ref[0, 0, 0] > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            vol_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
+            scratch, sem)
+        cp.start()
+        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        off_col = off_ref[:, 0:1]
+        hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
+        hyl, wyw, ymask = _axis_prep_window(y_ref[0], h, cfg, off_col,
+                                            q_block, y0, gy)
+        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        mask = valid * ymask * zmask
+        cp.wait()
+        # stage 1 (MXU): contract x against every brick row
+        rows = scratch[...].reshape(3 * c * n * wy_rows, w)
+        terms = mxu.split_bf16(rows, mxu.EXACT_PASSES)
+        b1 = [
+            mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
+            .reshape(3, c, n, wy_rows, q_block)
+            for i in range(3)
+        ]
+        rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
+        for j in range(3):
+            for i in range(3):
+                # stage 2 (VPU): one-hot row blend over the y window
+                v = b1[i][:, :, :, 0, :] * hyl[j][0][None, None, None, :]
+                for row in range(1, wy_rows):
+                    v = v + (b1[i][:, :, :, row, :]
+                             * hyl[j][row][None, None, None, :])
+                for r, (kx, ky, kz) in enumerate(_ROWS_3D):
+                    wyx = wyw[ky][j] * wx[kx][i]            # (N, Qb)
+                    acc = (wz[kz][0] * wyx)[None] * v[0]
+                    acc = acc + (wz[kz][1] * wyx)[None] * v[1]
+                    acc = acc + (wz[kz][2] * wyx)[None] * v[2]
+                    rows_acc[r] = rows_acc[r] + jnp.sum(acc, axis=1)
+        out_ref[:] = jnp.concatenate(rows_acc, axis=0) * mask
+
+    @pl.when(hasv_ref[0, 0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy",
+                                             "interpret"))
+def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
+                         q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                         interpret: bool = False):
+    """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
+    n, c, d, h, w = cells.shape
+    q = points.shape[0]
+    nby, _, _, hp = _geom(d, h, gy)
+    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, gy)
+    nblocks = qp // q_block
+
+    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
+    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    vol = _pad_volume(cells, d, h, w, hp)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+        q_block=q_block, channels=c, n_cells=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((7 * c, q_block), lambda qi: (0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, c * n, gy + 2, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, validf,
+      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
+      hasv.reshape(nblocks, 1, 1), offsets, vol)
+    return out[:, positions].reshape(7, c, q).astype(
+        jnp.promote_types(cells.dtype, points.dtype))
+
+
+def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
+                        hasv_ref, off_ref, g_ref, vol0_ref, out_ref, scratch,
+                        sem_in, sem_out, *, cfg, spatial, gy, q_block,
+                        channels, n_cells):
+    del vol0_ref  # aliased to out_ref; zero-initialized by XLA
+    d, h, w = spatial
+    c = channels
+    n = n_cells
+    wy_rows = gy + 2
+    z0 = z0_ref[0, 0, 0]
+    y0 = y0_ref[0, 0, 0]
+
+    @pl.when(hasv_ref[0, 0, 0] > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
+            scratch, sem_in)
+        cp.start()
+        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        off_col = off_ref[:, 0:1]
+        hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
+        hyl, wyw, ymask = _axis_prep_window(y_ref[0], h, cfg, off_col,
+                                            q_block, y0, gy)
+        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        mask = valid * ymask * zmask
+
+        g = g_ref[:].reshape(7, c, q_block)
+        gv = [g[r] * mask for r in range(7)]
+
+        contrib = jnp.zeros((3 * c * n * wy_rows, w), jnp.float32)
+        for i in range(3):
+            # stage 1 (VPU): spread the weighted cotangents over the
+            # window rows with the one-hot row blend
+            u = jnp.zeros((3, c, n, wy_rows, q_block), jnp.float32)
+            for j in range(3):
+                ps = []
+                for k in range(3):
+                    p = jnp.zeros((c, n, q_block), jnp.float32)
+                    for r, (kx, ky, kz) in enumerate(_ROWS_3D):
+                        coeff = wz[kz][k] * wyw[ky][j] * wx[kx][i]
+                        p = p + coeff[None, :, :] * gv[r][:, None, :]
+                    ps.append(p)
+                pk = jnp.stack(ps, axis=0)                 # (3, C, N, Qb)
+                u = u + pk[:, :, :, None, :] * hyl[j][None, None, None]
+            # stage 2 (MXU): scatter over x via the one-hot transpose
+            contrib = contrib + mxu.onehot_dot(
+                u.reshape(3 * c * n * wy_rows, q_block), hx[i],
+                (((1,), (1,)), ((), ())))                  # (rows, W)
+        cp.wait()
+        scratch[...] = scratch[...] + contrib.reshape(3, c * n, wy_rows, w)
+        cp2 = pltpu.make_async_copy(
+            scratch,
+            out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
+            sem_out)
+        cp2.start()
+        cp2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "gy", "interpret"))
+def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
+                       cfg: SamplerConfig, n_cells: int,
+                       q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                       interpret: bool = False):
+    """Cells-cotangent of pallas_fused3b_blend: (N, C, D, H, W)."""
+    d, h, w = in_spatial
+    k_rows, c, q = g.shape
+    n = n_cells
+    nby, _, _, hp = _geom(d, h, gy)
+    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, gy)
+    nblocks = qp // q_block
+
+    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
+    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
+    vol0 = jnp.zeros((d + 4, c * n, hp, w), jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+        q_block=q_block, channels=c, n_cells=n)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((d + 4, c * n, hp, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, c * n, gy + 2, w), jnp.float32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, validf,
+      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
+      hasv.reshape(nblocks, 1, 1), offsets, gq, vol0)
+    acc = acc.reshape(d + 4, c, n, hp, w)[2:2 + d, :, :, 2:2 + h, :]
+    return acc.transpose(2, 1, 0, 3, 4).astype(
+        jnp.promote_types(g.dtype, points.dtype))

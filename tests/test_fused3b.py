@@ -1,0 +1,109 @@
+"""v4 bricked large-volume 3D fused kernels vs the XLA fused reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosinesampler_tpu.ops import fused
+from cosinesampler_tpu.ops.config import SamplerConfig
+from cosinesampler_tpu.ops.pallas.fused3b import (_brick_bin,
+                                                  pallas_fused3b_blend,
+                                                  pallas_fused3b_bwd,
+                                                  supports)
+
+N_CELL, C, Q = 3, 2, 160
+
+
+def _data(seed=0, lo=-0.95, hi=0.95, shape=(6, 6, 6)):
+    rng = np.random.RandomState(seed)
+    cells = jnp.asarray(rng.rand(N_CELL, C, *shape), jnp.float32)
+    pts = jnp.asarray(rng.uniform(lo, hi, (Q, 3)), jnp.float32)
+    return cells, pts
+
+
+def test_brick_bin_partition():
+    _, pts = _data(7, lo=-1.7, hi=1.7)   # include OOB
+    cfg = SamplerConfig(dim=3)
+    positions, inv, z0, y0, hasv, qp = _brick_bin(pts, 6, 6, cfg, 32, 2)
+    positions = np.asarray(positions)
+    inv = np.asarray(inv)
+    assert len(set(positions.tolist())) == Q
+    assert positions.min() >= 0 and positions.max() < qp
+    assert (inv[positions] == np.arange(Q)).all()
+    # block origins lie inside the padded volume
+    z0 = np.asarray(z0)
+    y0 = np.asarray(y0)
+    assert z0.min() >= 0 and (z0 + 3).max() <= 6 + 4
+    nby = -(-(6 + 2) // 2)
+    assert y0.min() >= 0 and (y0 + 4).max() <= nby * 2 + 2
+    # hasv marks exactly the blocks whose first slot is occupied
+    hasv = np.asarray(hasv)
+    assert (hasv == (inv[np.arange(len(hasv)) * 32] >= 0)).all()
+
+
+@pytest.mark.parametrize("kernel", ["cosine", "linear", "smoothstep"])
+@pytest.mark.parametrize("multicell", [True, False])
+def test_v3b_blend_matches_xla(kernel, multicell):
+    cfg = SamplerConfig(dim=3, kernel=kernel, multicell=multicell,
+                        backend="pallas")
+    cells, pts = _data()
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused3b_blend(cells, pts, cfg, q_block=32, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_v3b_blend_oob_queries():
+    cfg = SamplerConfig(dim=3, backend="pallas")
+    cells, _ = _data(1)
+    pts = jnp.asarray(np.random.RandomState(2).uniform(-1.7, 1.7, (Q, 3)),
+                      jnp.float32)
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused3b_blend(cells, pts, cfg, q_block=32, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_v3b_blend_noncubic():
+    # distinct d/h/w exercise the axis bookkeeping (z bins, y groups, x)
+    cfg = SamplerConfig(dim=3, backend="pallas")
+    cells, pts = _data(4, shape=(5, 7, 9))
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused3b_blend(cells, pts, cfg, q_block=32, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("multicell", [True, False])
+def test_v3b_bwd_matches_xla(multicell):
+    cfg = SamplerConfig(dim=3, multicell=multicell, backend="pallas")
+    cells, pts = _data(3)
+    rng = np.random.RandomState(4)
+    g = jnp.asarray(rng.rand(7, C, Q), jnp.float32)
+    want = fused.xla_fused_bwd(g, pts, (6, 6, 6), cfg, N_CELL)
+    got = pallas_fused3b_bwd(g, pts, (6, 6, 6), cfg, N_CELL, q_block=32,
+                             interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_v3b_bwd_oob_queries():
+    cfg = SamplerConfig(dim=3, backend="pallas")
+    pts = jnp.asarray(np.random.RandomState(8).uniform(-1.7, 1.7, (Q, 3)),
+                      jnp.float32)
+    g = jnp.asarray(np.random.RandomState(9).rand(7, C, Q), jnp.float32)
+    want = fused.xla_fused_bwd(g, pts, (6, 6, 6),
+                               SamplerConfig(dim=3), N_CELL)
+    got = pallas_fused3b_bwd(g, pts, (6, 6, 6), cfg, N_CELL, q_block=32,
+                             interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_supports_gating():
+    budget = 6 << 20
+    big = (16, 4, 128, 128, 128)
+    assert supports(SamplerConfig(dim=3), big, budget)
+    assert supports(SamplerConfig(dim=3), big, budget, n_queries=1_000_000)
+    # too few queries for ~8.5k bins -> XLA fallback
+    assert not supports(SamplerConfig(dim=3), big, budget, n_queries=10_000)
+    assert not supports(SamplerConfig(dim=3, padding_mode="border"), big,
+                        budget)
+    assert not supports(SamplerConfig(dim=2), (50, 4, 16, 16), budget)
+    # W not 128-aligned: Mosaic rejects the brick DMA slice
+    assert not supports(SamplerConfig(dim=3), (16, 4, 128, 128, 64), budget)
