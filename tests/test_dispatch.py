@@ -1,0 +1,111 @@
+"""Backend dispatcher routing: which Pallas generation serves which shape.
+
+The fused kernel generations (fused2d / fused3s / fused3b / fused3d /
+fused) are individually parity-tested; these tests pin the DISPATCH —
+`_fused_blend`/`_fused_bwd` in ops/pallas/__init__.py picking the intended
+implementation per (volume size, query count, config) — by spying on the
+`supports()` gates and the chosen wrapper.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cosinesampler_tpu.ops.pallas as pb
+from cosinesampler_tpu.ops.config import SamplerConfig
+from cosinesampler_tpu.ops.pallas import fused2d, fused3b, fused3d, fused3s
+
+
+def _route_blend(monkeypatch, cells_shape, q, cfg):
+    """Run the dispatcher with every kernel stubbed; return who was picked."""
+    picked = []
+
+    def spy(module, name, tag):
+        orig = getattr(module, name)
+
+        def wrapper(*a, **k):
+            picked.append(tag)
+            return "STUB"
+        monkeypatch.setattr(module, name, wrapper)
+        return orig
+
+    spy(fused2d, "pallas_fused2_blend", "2d")
+    spy(fused3s, "pallas_fused3s_blend", "3s")
+    spy(fused3b, "pallas_fused3b_blend", "3b")
+    spy(fused3d, "pallas_fused3_blend", "3d")
+    spy(pb, "pallas_fused_blend", "v1")
+    cells = jnp.zeros(cells_shape, jnp.float32)
+    pts = jnp.zeros((q, cfg.dim), jnp.float32)
+    out = pb._fused_blend(cells, pts, cfg)
+    if out is None:
+        return "xla"
+    assert picked, "a kernel wrapper should have been invoked"
+    return picked[0]
+
+
+CFG3 = SamplerConfig(dim=3, backend="pallas")
+
+
+def test_small_3d_volume_large_q_routes_to_v3(monkeypatch):
+    # reference 3D workload: VMEM-resident volume, 100k queries
+    assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 100_000,
+                        CFG3) == "3s"
+
+
+def test_small_3d_volume_small_q_routes_to_v2(monkeypatch):
+    # tiny clouds skip the z-binning (bin padding dominates)
+    assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 120, CFG3) == "3d"
+
+
+def test_large_3d_volume_large_q_routes_to_v4(monkeypatch):
+    # 128^3 sweep: HBM-resident volume, 1M queries
+    assert _route_blend(monkeypatch, (16, 4, 128, 128, 128), 1_000_000,
+                        CFG3) == "3b"
+
+
+def test_large_3d_volume_small_q_falls_back_to_xla(monkeypatch):
+    assert _route_blend(monkeypatch, (16, 4, 128, 128, 128), 5_000,
+                        CFG3) == "xla"
+
+
+def test_large_3d_volume_unaligned_w_falls_back_to_xla(monkeypatch):
+    # W=96 not 128-aligned: the brick DMA cannot compile
+    assert _route_blend(monkeypatch, (16, 4, 128, 128, 96), 1_000_000,
+                        CFG3) == "xla"
+
+
+def test_border_padding_routes_past_shared_support(monkeypatch):
+    cfg = SamplerConfig(dim=3, padding_mode="border", backend="pallas")
+    assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 100_000,
+                        cfg) == "v1"
+
+
+def test_2d_routes_to_v2_2d(monkeypatch):
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    assert _route_blend(monkeypatch, (96, 4, 16, 16), 100_000, cfg) == "2d"
+
+
+@pytest.mark.parametrize(
+    "shape,q,want",
+    [((50, 4, 16, 16, 16), 100_000, "3s"),
+     ((16, 4, 128, 128, 128), 1_000_000, "3b"),
+     ((50, 4, 16, 16, 16), 120, "3d")])
+def test_bwd_dispatch_mirrors_blend(monkeypatch, shape, q, want):
+    picked = []
+
+    def spy(module, name, tag):
+        def wrapper(*a, **k):
+            picked.append(tag)
+            return "STUB"
+        monkeypatch.setattr(module, name, wrapper)
+
+    spy(fused2d, "pallas_fused2_bwd", "2d")
+    spy(fused3s, "pallas_fused3s_bwd", "3s")
+    spy(fused3b, "pallas_fused3b_bwd", "3b")
+    spy(fused3d, "pallas_fused3_bwd", "3d")
+    spy(pb, "pallas_fused_bwd", "v1")
+    n, c = shape[:2]
+    g = jnp.zeros((1 + 2 * CFG3.dim, c, q), jnp.float32)
+    pts = jnp.zeros((q, CFG3.dim), jnp.float32)
+    pb._fused_bwd(g, pts, shape[2:], CFG3, n)
+    assert picked and picked[0] == want
