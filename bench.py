@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from cosinesampler_tpu.utils import compile_cache
 from cosinesampler_tpu.models import pinn
 from cosinesampler_tpu.ops import generic
 from cosinesampler_tpu.ops.config import SamplerConfig
@@ -220,6 +221,7 @@ def _arm_watchdog(seconds: int = 1800):
 
 
 def main():
+    compile_cache.enable()
     watchdog = _arm_watchdog()
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 2)),

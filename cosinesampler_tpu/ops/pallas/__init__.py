@@ -33,21 +33,33 @@ def _fits_vmem(cells_shape, q_block, whole_stack: bool) -> bool:
     return max(cell_block, stage1) <= _VMEM_BUDGET
 
 
+def _f64(*arrays) -> bool:
+    """The kernels compute in f32; route f64 requests to the exact XLA
+    path instead of silently downcasting."""
+    import jax.numpy as jnp
+
+    return any(a.dtype == jnp.float64 for a in arrays)
+
+
 def _blend(input, grid, cfg, orders):
-    if not _fits_vmem(input.shape, DEFAULT_Q_BLOCK, whole_stack=False):
+    if _f64(input, grid) or not _fits_vmem(input.shape, DEFAULT_Q_BLOCK,
+                                           whole_stack=False):
         return generic.blend(input, grid, cfg, orders)
     return pallas_blend(input, grid, cfg, orders, interpret=INTERPRET)
 
 
 def _splat(gout, grid, in_spatial, cfg, orders):
     shape = (gout.shape[0], gout.shape[1], *in_spatial)
-    if not _fits_vmem(shape, DEFAULT_Q_BLOCK, whole_stack=False):
+    if _f64(gout, grid) or not _fits_vmem(shape, DEFAULT_Q_BLOCK,
+                                          whole_stack=False):
         return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
     return pallas_splat(gout, grid, tuple(in_spatial), cfg, orders,
                         interpret=INTERPRET)
 
 
 def _fused_blend(cells, points, cfg):
+    if _f64(cells, points):
+        return None
     if fused2d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_blend(cells, points, cfg,
                                            interpret=INTERPRET)
@@ -66,6 +78,8 @@ def _fused_blend(cells, points, cfg):
 
 
 def _fused_bwd(g, points, in_spatial, cfg, n_cells):
+    if _f64(g, points):
+        return None
     shape = (n_cells, g.shape[1], *in_spatial)
     if fused2d.supports(cfg, shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_bwd(g, points, tuple(in_spatial), cfg,

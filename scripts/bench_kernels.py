@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cosinesampler_tpu.utils import compile_cache
 from cosinesampler_tpu.ops.config import SamplerConfig
 from cosinesampler_tpu.ops.pallas import mxu, fused2d, fused3d, fused3s
 
@@ -47,6 +48,7 @@ def timeit(fn, a0, a1, reps=30):
 
 
 def main():
+    compile_cache.enable()
     rng = np.random.RandomState(0)
     cfg2 = SamplerConfig(dim=2, kernel="cosine", padding_mode="zeros",
                          align_corners=True, multicell=True, backend="pallas")

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cosinesampler_tpu.utils import compile_cache
 from cosinesampler_tpu.ops import fused
 from cosinesampler_tpu.ops.config import SamplerConfig
 from cosinesampler_tpu.ops.pallas import fused3b
@@ -56,6 +57,7 @@ def scan_time(fn, *args, reps=REPS, name=""):
 
 
 def main():
+    compile_cache.enable()
     rng = np.random.RandomState(0)
     cfg = SamplerConfig(dim=3, kernel="cosine", multicell=True)
     cells = jnp.asarray(rng.rand(N, C, S, S, S), jnp.float32)

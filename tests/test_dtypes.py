@@ -43,3 +43,24 @@ def test_f64_exactness_xla_backend():
     assert out.dtype == jnp.float64
     g = jax.grad(lambda c: sample(c, grid, cfg).sum())(cells)
     assert g.dtype == jnp.float64
+
+
+def test_f64_routes_past_pallas_kernels():
+    """f64 + backend='pallas' must use the exact XLA path, not silently
+    compute in f32 (the kernels are f32-internal)."""
+    rng = np.random.RandomState(3)
+    cells = jnp.asarray(rng.rand(4, 2, 8, 8))          # f64 under x64
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 1, 64, 2)))
+    pcfg = SamplerConfig(dim=2, backend="pallas")
+    xcfg = SamplerConfig(dim=2, backend="xla")
+    out_p = sample(cells, grid, pcfg)
+    out_x = sample(cells, grid, xcfg)
+    assert out_p.dtype == jnp.float64
+    # bit-identical: proof the f64 request did not round-trip through f32
+    np.testing.assert_array_equal(out_p, out_x)
+
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 2)))
+    f_p = fused.sample_features_with_derivs(cells, pts, pcfg)
+    f_x = fused.sample_features_with_derivs(cells, pts, xcfg)
+    assert f_p.dtype == jnp.float64
+    np.testing.assert_array_equal(f_p, f_x)
