@@ -31,9 +31,9 @@ v4 removes the VMEM residency requirement:
 Out-of-bounds semantics match the reference CUDA bounds-check-to-zero
 (cosine_sampler_3d_kernel.cu:343-369): the x axis via the one-hot hits,
 y/z via bin-membership masks plus the cropped pad margins.  Scope is
-padding_mode='zeros' + shared query points, like fused2d/fused3s, and
-W must be a multiple of 128 (Mosaic requires the brick DMA slice's lane
-dim to be 128-aligned; narrower volumes fall back).
+padding_mode='zeros' + shared query points, like fused2d/fused3s.  W is
+lane-padded to a 128-multiple internally (Mosaic requires the brick DMA's
+W slice to be 128-aligned); the zero pad columns are semantically inert.
 """
 
 from __future__ import annotations
@@ -50,7 +50,7 @@ from ..config import SamplerConfig
 from ..coords import multicell_offsets, unnormalize
 from ..interpolants import corner_weights
 from . import mxu
-from .fused3d import _axis_prep, _ROWS_3D
+from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
 
 V3B_Q_BLOCK = 128
@@ -67,16 +67,20 @@ def _geom(d: int, h: int, gy: int):
     return nby, nbz, nby * nbz, nby * gy + 2   # (nby, nbz, nbins, padded H)
 
 
+def _wpad(w: int) -> int:
+    """Width padded to the Mosaic lane tile (the brick DMA requires the W
+    slice to be a 128-multiple).  Pad columns hold zeros: forward reads of
+    them contribute nothing and backward scatters into them are cropped,
+    so no masking is needed."""
+    return max(-(-w // 128) * 128, 128)
+
+
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None) -> bool:
     if cfg.dim != 3 or cfg.padding_mode != "zeros":
         return False
     n, c, d, h, w = cells_shape
-    if w % 128 != 0:
-        # Mosaic requires the brick DMA slice's lane (W) dim to be
-        # 128-aligned; narrower volumes stay on the VMEM-resident or XLA
-        # paths.
-        return False
+    w = _wpad(w)
     wy = V3B_GY + 2
     if 3 * n * c * wy * w * 4 > vmem_budget:        # brick scratch
         return False
@@ -194,17 +198,45 @@ def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
     return hits, weights, ymask
 
 
-def _pad_volume(cells, d, h, w, hp):
-    """(N,C,D,H,W) -> zero-padded (D+4, C*N, Hp, W) HBM layout."""
+def _pad_volume(cells, d, h, w, hp, wp):
+    """(N,C,D,H,W) -> zero-padded (D+4, C*N, Hp, Wp) HBM layout."""
     n, c = cells.shape[:2]
     cells_f = cells.astype(jnp.float32).transpose(2, 1, 0, 3, 4).reshape(
         d, c * n, h, w)
-    return jnp.pad(cells_f, ((2, 2), (0, 0), (2, hp - h - 2), (0, 0)))
+    return jnp.pad(cells_f, ((2, 2), (0, 0), (2, hp - h - 2), (0, wp - w)))
+
+
+def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
+    """fused3d._axis_prep with the one-hot hit rows spanning the
+    lane-padded width ``wp`` >= size (pad rows never match in-bounds
+    corner indices, so they read zeros / receive cropped scatters)."""
+    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
+                             0.0)
+    fb = jnp.floor(base)
+    fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (wp, q_block), 0)
+    hits = [(iota == fbi + j).astype(jnp.float32) for j in range(3)]
+
+    ixn = base + off_col
+    fxn = jnp.floor(ixn)
+    s = jnp.minimum(fxn - fb, 1.0)
+    t = ixn - (fb + s)
+    scale = mult[0, 0]
+    weights = []
+    for k in range(3):
+        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
+        if k > 0:
+            w0 = w0 * scale**k
+            w1 = w1 * scale**k
+        ns = 1.0 - s
+        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
+    return hits, weights
 
 
 def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                           hasv_ref, off_ref, vol_ref, out_ref, scratch, sem,
-                          *, cfg, spatial, gy, q_block, channels, n_cells):
+                          *, cfg, spatial, gy, q_block, channels,
+                          n_cells, wpad):
     d, h, w = spatial
     c = channels
     n = n_cells
@@ -220,14 +252,14 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         cp.start()
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
+        hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
         hyl, wyw, ymask = _axis_prep_window(y_ref[0], h, cfg, off_col,
                                             q_block, y0, gy)
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
         cp.wait()
         # stage 1 (MXU): contract x against every brick row
-        rows = scratch[...].reshape(3 * c * n * wy_rows, w)
+        rows = scratch[...].reshape(3 * c * n * wy_rows, wpad)
         terms = mxu.split_bf16(rows, mxu.EXACT_PASSES)
         b1 = [
             mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
@@ -264,6 +296,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     n, c, d, h, w = cells.shape
     q = points.shape[0]
     nby, _, _, hp = _geom(d, h, gy)
+    wp = _wpad(w)
     positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
@@ -272,7 +305,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    vol = _pad_volume(cells, d, h, w, hp)
+    vol = _pad_volume(cells, d, h, w, hp, wp)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -280,7 +313,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n)
+        q_block=q_block, channels=c, n_cells=n, wpad=wp)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -297,7 +330,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, c * n, gy + 2, w), jnp.float32),
+            pltpu.VMEM((3, c * n, gy + 2, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -314,7 +347,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
 def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                         hasv_ref, off_ref, g_ref, vol0_ref, out_ref, scratch,
                         sem_in, sem_out, *, cfg, spatial, gy, q_block,
-                        channels, n_cells):
+                        channels, n_cells, wpad):
     del vol0_ref  # aliased to out_ref; zero-initialized by XLA
     d, h, w = spatial
     c = channels
@@ -331,7 +364,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         cp.start()
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        hx, wx = _axis_prep(x_ref[0], w, cfg, off_col, q_block)
+        hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
         hyl, wyw, ymask = _axis_prep_window(y_ref[0], h, cfg, off_col,
                                             q_block, y0, gy)
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
@@ -340,7 +373,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         g = g_ref[:].reshape(7, c, q_block)
         gv = [g[r] * mask for r in range(7)]
 
-        contrib = jnp.zeros((3 * c * n * wy_rows, w), jnp.float32)
+        contrib = jnp.zeros((3 * c * n * wy_rows, wpad), jnp.float32)
         for i in range(3):
             # stage 1 (VPU): spread the weighted cotangents over the
             # window rows with the one-hot row blend
@@ -360,7 +393,8 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                 u.reshape(3 * c * n * wy_rows, q_block), hx[i],
                 (((1,), (1,)), ((), ())))                  # (rows, W)
         cp.wait()
-        scratch[...] = scratch[...] + contrib.reshape(3, c * n, wy_rows, w)
+        scratch[...] = scratch[...] + contrib.reshape(3, c * n, wy_rows,
+                                                      wpad)
         cp2 = pltpu.make_async_copy(
             scratch,
             out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
@@ -380,6 +414,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     k_rows, c, q = g.shape
     n = n_cells
     nby, _, _, hp = _geom(d, h, gy)
+    wp = _wpad(w)
     positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
@@ -389,7 +424,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
-    vol0 = jnp.zeros((d + 4, c * n, hp, w), jnp.float32)
+    vol0 = jnp.zeros((d + 4, c * n, hp, wp), jnp.float32)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -397,7 +432,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n)
+        q_block=q_block, channels=c, n_cells=n, wpad=wp)
     acc = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -413,9 +448,9 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((d + 4, c * n, hp, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d + 4, c * n, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, c * n, gy + 2, w), jnp.float32),
+            pltpu.VMEM((3, c * n, gy + 2, wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={9: 0},
@@ -426,6 +461,6 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
       hasv.reshape(nblocks, 1, 1), offsets, gq, vol0)
-    acc = acc.reshape(d + 4, c, n, hp, w)[2:2 + d, :, :, 2:2 + h, :]
+    acc = acc.reshape(d + 4, c, n, hp, wp)[2:2 + d, :, :, 2:2 + h, :w]
     return acc.transpose(2, 1, 0, 3, 4).astype(
         jnp.promote_types(g.dtype, points.dtype))

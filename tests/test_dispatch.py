@@ -68,10 +68,10 @@ def test_large_3d_volume_small_q_falls_back_to_xla(monkeypatch):
                         CFG3) == "xla"
 
 
-def test_large_3d_volume_unaligned_w_falls_back_to_xla(monkeypatch):
-    # W=96 not 128-aligned: the brick DMA cannot compile
+def test_large_3d_volume_unaligned_w_routes_to_v4(monkeypatch):
+    # W=96 not 128-aligned: v4 lane-pads the volume internally
     assert _route_blend(monkeypatch, (16, 4, 128, 128, 96), 1_000_000,
-                        CFG3) == "xla"
+                        CFG3) == "3b"
 
 
 def test_border_padding_routes_past_shared_support(monkeypatch):
