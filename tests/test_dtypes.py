@@ -64,3 +64,16 @@ def test_f64_routes_past_pallas_kernels():
     f_x = fused.sample_features_with_derivs(cells, pts, xcfg)
     assert f_p.dtype == jnp.float64
     np.testing.assert_array_equal(f_p, f_x)
+
+
+def test_f16_cells_sample():
+    """float16 (the reference's AT_DISPATCH..._AND_HALF case) promotes to
+    the grid dtype like bf16 does."""
+    rng = np.random.RandomState(4)
+    cells32 = jnp.asarray(rng.rand(4, 2, 8, 8), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 1, 64, 2)), jnp.float32)
+    cfg = SamplerConfig(dim=2, backend="xla")
+    out16 = sample(cells32.astype(jnp.float16), grid, cfg)
+    out32 = sample(cells32, grid, cfg)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(out16, out32, rtol=2e-3, atol=2e-3)
