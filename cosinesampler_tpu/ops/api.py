@@ -23,22 +23,27 @@ from .sampler import sample
 
 def cosine_sampler_2d(input, grid, padding_mode: str = "zeros",
                       align_corners: bool = True, kernel: str = "cosine",
-                      multicell: bool = True, backend: str = "auto"):
+                      multicell: bool = True, backend: str = "auto",
+                      strict_reference: bool = False):
     """Sample N feature grids (N, C, H, W) at grid (N, H_out, W_out, 2).
 
     Grid coords in [-1, 1]; grid[..., 0] is x (addresses W), grid[..., 1] is
     y (addresses H).  Returns (N, C, H_out, W_out).
+    ``strict_reference`` reproduces the reference CUDA kernels' coordinate
+    quirks bit-faithfully (see SamplerConfig.strict_reference).
     """
     cfg = SamplerConfig(
         dim=2, kernel=kernel, padding_mode=padding_mode,
         align_corners=align_corners, multicell=multicell, backend=backend,
+        strict_reference=strict_reference,
     )
     return sample(input, grid, cfg)
 
 
 def cosine_sampler_3d(input, grid, padding_mode: str = "zeros",
                       align_corners: bool = True, kernel: str = "cosine",
-                      multicell: bool = True, backend: str = "auto"):
+                      multicell: bool = True, backend: str = "auto",
+                      strict_reference: bool = False):
     """Sample N feature volumes (N, C, D, H, W) at grid (N, D_out, H_out, W_out, 3).
 
     grid[..., 0] is x (addresses W), [..., 1] y (H), [..., 2] z (D).
@@ -47,6 +52,7 @@ def cosine_sampler_3d(input, grid, padding_mode: str = "zeros",
     cfg = SamplerConfig(
         dim=3, kernel=kernel, padding_mode=padding_mode,
         align_corners=align_corners, multicell=multicell, backend=backend,
+        strict_reference=strict_reference,
     )
     return sample(input, grid, cfg)
 

@@ -24,6 +24,19 @@ class SamplerConfig:
     align_corners: bool = True
     multicell: bool = True
     backend: str = "auto"         # auto | xla | pallas
+    #: Reproduce the reference CUDA kernels' two coordinate quirks exactly
+    #: (for bit-faithful migration of workloads that relied on them):
+    #: (a) reflection + align_corners folds over ``2*(size-2)`` even in
+    #:     non-multicell mode (cosine_sampler_2d_kernel.cu:185,
+    #:     cosine_sampler_3d_kernel.cu:196) — the default instead uses the
+    #:     torch span ``2*(size-1)`` when multicell is off;
+    #: (b) the 2D *forward* hardcodes align_corners=True
+    #:     (cosine_sampler_2d_kernel.cu:307-308) while its backward kernels
+    #:     honor the flag, so with align_corners=False the value and its
+    #:     gradients are mutually inconsistent.  Strict mode reproduces
+    #:     that inconsistency (value-order blends use align_corners=True;
+    #:     every derivative order and every splat uses the real flag).
+    strict_reference: bool = False
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -35,3 +48,16 @@ class SamplerConfig:
             )
         if self.backend not in BACKENDS:
             raise ValueError(f"backend must be one of {BACKENDS}, got {self.backend!r}")
+
+
+def effective_align(cfg: SamplerConfig, orders) -> bool:
+    """align_corners as the reference's kernel for ``orders`` would see it.
+
+    The reference 2D forward kernel passes literal ``1`` for align_corners
+    (cosine_sampler_2d_kernel.cu:307-308); its backward/double/triple
+    kernels pass the real flag.  Under ``strict_reference`` the order-0
+    ("forward") 2D blend therefore uses True; everything else the flag.
+    """
+    if cfg.strict_reference and cfg.dim == 2 and all(o == 0 for o in orders):
+        return True
+    return cfg.align_corners

@@ -96,13 +96,16 @@ def compute_source_coords(
     align_corners: bool,
     multicell: bool,
     offset,
+    strict: bool = False,
 ):
     """Full transform: unnormalize -> (clip | reflect+clip), with chain multiplier.
 
     Mirrors grid_sampler_compute_source_index_set_grad (kernel.cu:211-236).
     Returns ``(pixel_coord, mult)`` with ``mult = d(pixel_coord)/d(coord)``
     a.e. (the product of the unnormalize scale and the border/reflection
-    fold factors).
+    fold factors).  ``strict`` reproduces the reference's always-
+    ``2*(size-2)`` align-corners reflection span even in non-multicell mode
+    (kernel.cu:185; see SamplerConfig.strict_reference).
     """
     x, mult = unnormalize(coord, size, align_corners, multicell, offset)
     if padding_mode == "zeros":
@@ -111,7 +114,7 @@ def compute_source_coords(
         x, mc = clip_coordinates(x, size)
         return x, mult * mc
     if padding_mode == "reflection":
-        eff = size - 1 if multicell else size
+        eff = size - 1 if (multicell or strict) else size
         if align_corners:
             x, mr = reflect_coordinates(x, 0, 2 * (eff - 1))
         else:

@@ -48,13 +48,13 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .config import SamplerConfig
+from .config import SamplerConfig, effective_align
 from .coords import compute_source_coords, multicell_offsets
 from .interpolants import corner_weights
 
 
 def _per_axis_tables(grid_flat, spatial, cfg: SamplerConfig, orders,
-                     n_cells=None):
+                     n_cells=None, fwd_quirk=False):
     """Per-grid-axis (corner index base, corner weights, axis size).
 
     ``grid_flat`` is (N, Q, d) — or (1, Q, d) for a query cloud shared by
@@ -66,12 +66,16 @@ def _per_axis_tables(grid_flat, spatial, cfg: SamplerConfig, orders,
     d = cfg.dim
     n = n_cells if n_cells is not None else grid_flat.shape[0]
     offset = multicell_offsets(n, cfg.multicell, grid_flat.dtype)[:, None]
+    # The strict-mode 2D forward align hardcode applies to the order-0
+    # GATHER only: the reference backward kernel's grad_input scatter
+    # honors the real flag (the upstream fwd/bwd inconsistency).
+    align = effective_align(cfg, orders) if fwd_quirk else cfg.align_corners
     tables = []
     for i in range(d):
         size = spatial[d - 1 - i]
         x, mult = compute_source_coords(
-            grid_flat[..., i], size, cfg.padding_mode, cfg.align_corners,
-            cfg.multicell, offset,
+            grid_flat[..., i], size, cfg.padding_mode, align,
+            cfg.multicell, offset, strict=cfg.strict_reference,
         )
         fx = jnp.floor(x)
         t = x - jax.lax.stop_gradient(fx)
@@ -111,7 +115,8 @@ def blend(input, grid, cfg: SamplerConfig, orders: Tuple[int, ...]):
     out_spatial = tuple(grid.shape[1:-1])
     q = math.prod(out_spatial)
     gf = grid.reshape(grid.shape[0], q, d)
-    tables = _per_axis_tables(gf, spatial, cfg, orders, n_cells=n)
+    tables = _per_axis_tables(gf, spatial, cfg, orders, n_cells=n,
+                              fwd_quirk=True)
     inp = input.reshape(n, c, -1)
     total = math.prod(spatial)
     out = jnp.zeros((n, c, q), dtype=input.dtype)

@@ -52,7 +52,8 @@ def _axis_onehots(coord, size, cfg, off, valid, q_block):
     axis), keeping the per-cell VPU work minimal.
     """
     x, mult = compute_source_coords(
-        coord, size, cfg.padding_mode, cfg.align_corners, cfg.multicell, off)
+        coord, size, cfg.padding_mode, cfg.align_corners, cfg.multicell, off,
+        strict=cfg.strict_reference)
     fx = jnp.floor(x)
     t = x - fx
     fxi = jnp.clip(fx, -2.0, float(size) + 1.0).astype(jnp.int32)

@@ -35,6 +35,7 @@ reference's forward, backward, double- and triple-backward weight tables
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import Tuple
@@ -44,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import SamplerConfig
+from ..config import SamplerConfig, effective_align
 from ..coords import compute_source_coords, multicell_offsets
 from ..interpolants import corner_weights
 
@@ -60,7 +61,7 @@ def _axis_onehot(coord_block, size, cfg: SamplerConfig, order, offset, valid,
     """
     x, mult = compute_source_coords(
         coord_block, size, cfg.padding_mode, cfg.align_corners,
-        cfg.multicell, offset)
+        cfg.multicell, offset, strict=cfg.strict_reference)
     fx = jnp.floor(x)
     t = x - fx
     w0, w1 = corner_weights(cfg.kernel, t, order, precise_trig=True)
@@ -140,6 +141,10 @@ def _blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref, out_ref,
 def pallas_blend(input, grid, cfg: SamplerConfig, orders: Tuple[int, ...],
                  q_block: int = DEFAULT_Q_BLOCK, interpret: bool = False):
     """Pallas implementation of generic.blend (same contract)."""
+    if effective_align(cfg, orders) != cfg.align_corners:
+        # strict-mode 2D forward align hardcode (gather only; pallas_splat
+        # keeps the real flag, matching the reference backward kernels)
+        cfg = dataclasses.replace(cfg, align_corners=True)
     dim = cfg.dim
     n, c = input.shape[:2]
     spatial = tuple(input.shape[2:])
