@@ -29,10 +29,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SamplerConfig
-from ..coords import multicell_offsets, unnormalize
-from ..interpolants import corner_weights
+from ..coords import multicell_offsets
 from . import mxu
 from .kernels import _valid_mask
+from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, cell_weights,
+                   n_shifts, shift_lo)
 
 # 256 is the sweet spot: 512 pushes the kernel's VMEM footprint past what
 # Mosaic can double-buffer and throughput collapses ~20x.
@@ -43,7 +44,7 @@ _ROWS_2D = ((0, 0), (1, 0), (0, 1), (2, 0), (0, 2))
 
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
-    if cfg.dim != 2 or cfg.padding_mode != "zeros":
+    if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, h, w = cells_shape
     if (n * c * h * w * 4 > vmem_budget or h * w * V2_Q_BLOCK * 4 >
@@ -57,33 +58,17 @@ def _axis_prep(coord, size, cfg, off_col, q_block):
 
     Returns (hits, weights) where hits[j] is the (size, q_block) 0/1 row
     selector for shared row floor(base)+j, and weights[k][j] is the
-    (N, q_block) order-k corner weight each cell contributes at shift j.
+    (N, q_block) order-k corner weight each cell contributes at shift j
+    (see prep.py for the zeros/border coordinate transform).
     """
-    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
-                             0.0)
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (size, q_block), 0)
-    hits = [(iota == fbi + j).astype(jnp.float32) for j in range(3)]
-
-    # Per-cell floor shift, computed exactly like the reference path
-    # (floor(base + off), kernel.cu:310): deriving it from frac(base)+off
-    # instead rounds differently at texel boundaries, flipping corners where
-    # the second derivative is discontinuous.
-    ixn = base + off_col                 # (N, q_block)
-    fxn = jnp.floor(ixn)
-    s = jnp.minimum(fxn - fb, 1.0)       # {0, 1}; the ulp case fxn==fb+2
-    t = ixn - (fb + s)                   # collapses to t == 1 there
-    scale = mult[0, 0]                   # static for zeros padding
-    weights = []
-    for k in range(3):
-        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
-        if k > 0:
-            w0 = w0 * scale**k
-            w1 = w1 * scale**k
-        ns = 1.0 - s
-        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
-    return hits, weights
+    lo = shift_lo(cfg)
+    hits = [(iota == fbi + j).astype(jnp.float32)
+            for j in range(lo, lo + n_shifts(cfg))]
+    return hits, cell_weights(base, ixn, scale, cfg)
 
 
 def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
@@ -103,8 +88,8 @@ def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
     # HIGHEST's 6 (see mxu.py — the selector is exactly bf16-representable).
     cells_terms = mxu.split_bf16(cells_ref[:], mxu.EXACT_PASSES)  # (C*N, H*W)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_2D]
-    for j in range(3):
-        for i in range(3):
+    for j in range(len(hy)):
+        for i in range(len(hx)):
             a_ji = (hy[j][:, None, :] * hx[i][None, :, :]).reshape(
                 h * w, q_block)
             v = mxu.onehot_dot_terms(
@@ -182,8 +167,8 @@ def _fused2_bwd_kernel(x_ref, y_ref, valid_ref, first_ref, off_ref, g_ref,
 
     gv = [g[r] * valid for r in range(5)]                 # (C, Qb) each
     contrib = jnp.zeros((c * n, h * w), jnp.float32)
-    for j in range(3):
-        for i in range(3):
+    for j in range(len(hy)):
+        for i in range(len(hx)):
             a_ji = (hy[j][:, None, :] * hx[i][None, :, :]).reshape(
                 h * w, q_block)
             p = jnp.zeros((c, n, q_block), jnp.float32)

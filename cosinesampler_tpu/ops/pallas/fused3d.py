@@ -26,10 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SamplerConfig
-from ..coords import multicell_offsets, unnormalize
-from ..interpolants import corner_weights
+from ..coords import multicell_offsets
 from . import mxu
 from .kernels import _valid_mask
+from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, cell_weights,
+                   n_shifts, shift_lo)
 
 V3_Q_BLOCK = 256
 
@@ -39,7 +40,7 @@ _ROWS_3D = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
 
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
-    if cfg.dim != 3 or cfg.padding_mode != "zeros":
+    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, d, h, w = cells_shape
     vol = d * h * w
@@ -52,30 +53,17 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
 def _axis_prep(coord, size, cfg, off_col, q_block):
     """Shared base one-hots + per-cell shifted weights for one axis.
 
-    Same derivation as fused2d._axis_prep (incl. the floor(base+off)
-    boundary-exact shift computation).
+    Same derivation as fused2d._axis_prep; zeros/border coordinate
+    transform centralized in prep.py.
     """
-    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
-                             0.0)
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (size, q_block), 0)
-    hits = [(iota == fbi + j).astype(jnp.float32) for j in range(3)]
-
-    ixn = base + off_col
-    fxn = jnp.floor(ixn)
-    s = jnp.minimum(fxn - fb, 1.0)
-    t = ixn - (fb + s)
-    scale = mult[0, 0]
-    weights = []
-    for k in range(3):
-        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
-        if k > 0:
-            w0 = w0 * scale**k
-            w1 = w1 * scale**k
-        ns = 1.0 - s
-        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
-    return hits, weights
+    lo = shift_lo(cfg)
+    hits = [(iota == fbi + j).astype(jnp.float32)
+            for j in range(lo, lo + n_shifts(cfg))]
+    return hits, cell_weights(base, ixn, scale, cfg)
 
 
 def _fused3_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
@@ -95,11 +83,11 @@ def _fused3_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
     # against all 27 one-hot panels (see mxu.py).
     cells_terms = mxu.split_bf16(cells_ref[:], mxu.EXACT_PASSES)  # (C*N, DHW)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
-    for k in range(3):
-        for j in range(3):
+    for k in range(len(hz)):
+        for j in range(len(hy)):
             zy = (hz[k][:, None, :] * hy[j][None, :, :]).reshape(
                 d * h, q_block)
-            for i in range(3):
+            for i in range(len(hx)):
                 a = (zy[:, None, :] * hx[i][None, :, :]).reshape(
                     d * h * w, q_block)
                 v = mxu.onehot_dot_terms(
@@ -177,11 +165,11 @@ def _fused3_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, first_ref, off_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     contrib = jnp.zeros((c * n, d * h * w), jnp.float32)
-    for k in range(3):
-        for j in range(3):
+    for k in range(len(hz)):
+        for j in range(len(hy)):
             zy = (hz[k][:, None, :] * hy[j][None, :, :]).reshape(
                 d * h, q_block)
-            for i in range(3):
+            for i in range(len(hx)):
                 a = (zy[:, None, :] * hx[i][None, :, :]).reshape(
                     d * h * w, q_block)
                 p = jnp.zeros((c, n, q_block), jnp.float32)

@@ -31,10 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SamplerConfig
-from ..coords import multicell_offsets, unnormalize
-from ..interpolants import corner_weights
+from ..coords import multicell_offsets
 from . import mxu
 from .fused3d import _axis_prep, _ROWS_3D
+from .prep import FUSED_PADDING_MODES, axis_transform, bin_base, cell_weights
 
 V3S_Q_BLOCK = 256
 # Below this many queries the bin padding (<= D+2 extra blocks) outweighs
@@ -45,7 +45,7 @@ _ZLO = -2  # lowest fz with any in-bounds corner (fz = -2 -> corner at z=0)
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None) -> bool:
-    if cfg.dim != 3 or cfg.padding_mode != "zeros":
+    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES:
         return False
     if n_queries is not None and n_queries < V3S_MIN_Q:
         return False
@@ -66,25 +66,10 @@ def _z_weights(coord, size, cfg, off_col, zf):
     window slab ``slab`` and zmask the (1, Qb) flag fb == zf (queries from
     clamped OOB bins are zeroed).
     """
-    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
-                             0.0)
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     zmask = (fb == zf.astype(jnp.float32)).astype(jnp.float32)
-
-    ixn = base + off_col
-    fxn = jnp.floor(ixn)
-    s = jnp.minimum(fxn - fb, 1.0)
-    t = ixn - (fb + s)
-    scale = mult[0, 0]
-    weights = []
-    for k in range(3):
-        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
-        if k > 0:
-            w0 = w0 * scale**k
-            w1 = w1 * scale**k
-        ns = 1.0 - s
-        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
-    return weights, zmask
+    return cell_weights(base, ixn, scale, cfg), zmask
 
 
 def _zbin(points, d: int, cfg: SamplerConfig, q_block: int):
@@ -97,8 +82,7 @@ def _zbin(points, d: int, cfg: SamplerConfig, q_block: int):
     """
     q = points.shape[0]
     nbins = d - _ZLO  # fz in [_ZLO, d-1]; anything outside contributes 0
-    base, _ = unnormalize(points[:, 2].astype(jnp.float32), d,
-                          cfg.align_corners, cfg.multicell, 0.0)
+    base = bin_base(points[:, 2].astype(jnp.float32), d, cfg)
     fb = jnp.floor(jax.lax.stop_gradient(base)).astype(jnp.int32)
     keys = jnp.clip(fb - _ZLO, 0, nbins - 1)
     onehot = (keys[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :])

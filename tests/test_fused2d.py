@@ -57,7 +57,10 @@ def test_v2_bwd_matches_xla(multicell):
 def test_supports_gating():
     assert supports(SamplerConfig(dim=2, padding_mode="zeros"),
                     (96, 4, 16, 16), 6 << 20)
-    assert not supports(SamplerConfig(dim=2, padding_mode="border"),
-                        (96, 4, 16, 16), 6 << 20)
+    # border and reflection are in scope since round 2 (prep.py)
+    assert supports(SamplerConfig(dim=2, padding_mode="border"),
+                    (96, 4, 16, 16), 6 << 20)
+    assert supports(SamplerConfig(dim=2, padding_mode="reflection"),
+                    (96, 4, 16, 16), 6 << 20)
     assert not supports(SamplerConfig(dim=3), (8, 4, 16, 16, 16), 6 << 20)
     assert not supports(SamplerConfig(dim=2), (512, 64, 64, 64), 6 << 20)

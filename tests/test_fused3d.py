@@ -55,8 +55,11 @@ def test_v3_bwd_matches_xla(multicell):
 def test_supports_gating():
     budget = 6 << 20
     assert supports(SamplerConfig(dim=3), (50, 4, 16, 16, 16), budget)
-    assert not supports(SamplerConfig(dim=3, padding_mode="border"),
-                        (50, 4, 16, 16, 16), budget)
+    # border and reflection are in scope since round 2 (prep.py)
+    assert supports(SamplerConfig(dim=3, padding_mode="border"),
+                    (50, 4, 16, 16, 16), budget)
+    assert supports(SamplerConfig(dim=3, padding_mode="reflection"),
+                    (50, 4, 16, 16, 16), budget)
     assert not supports(SamplerConfig(dim=2), (50, 4, 16, 16), budget)
     # 64^3: one A panel alone is 64^3*256*4 = 256 MB -> falls back
     assert not supports(SamplerConfig(dim=3), (4, 4, 64, 64, 64), budget)

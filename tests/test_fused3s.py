@@ -108,7 +108,7 @@ def test_supports_gating():
                     n_queries=100_000)
     assert not supports(SamplerConfig(dim=3), (50, 4, 16, 16, 16), budget,
                         n_queries=120)
-    assert not supports(SamplerConfig(dim=3, padding_mode="border"),
+    assert not supports(SamplerConfig(dim=3, padding_mode="reflection"),
                         (50, 4, 16, 16, 16), budget)
     assert not supports(SamplerConfig(dim=2), (50, 4, 16, 16), budget)
     # 64^3 volume: 4*4*64^3*4 = 16 MB resident -> falls back
