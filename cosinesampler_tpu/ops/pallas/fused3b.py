@@ -47,18 +47,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SamplerConfig
-from ..coords import multicell_offsets, unnormalize
-from ..interpolants import corner_weights
+from ..coords import multicell_offsets
 from . import mxu
 from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
+from .prep import FUSED_PADDING_MODES, axis_transform, bin_base, cell_weights
 
 V3B_Q_BLOCK = 128
 V3B_GY = 2            # y rows per bin; brick window is GY + 2 rows
 _HBM_BUDGET = 4 << 30  # bytes for the padded HBM-resident volume
 # Below ~this many queries per bin the padding blocks dominate the brick
-# kernels; small clouds on large volumes stay on the XLA path.
-_MIN_Q_PER_BIN = 16
+# kernels; small clouds on large volumes stay on the XLA path.  Kept LOW
+# on purpose: a sparse cloud pads every occupied bin to a whole block
+# (up to ~q_block/x padding overhead — a perf cost), but the alternative
+# XLA chunked-scatter gradient has tripped a TPU runtime device fault at
+# the 128^3 scale (BENCHMARKS.md), so mid-size clouds must stay on the
+# deterministic brick path.  Availability beats throughput here.
+_MIN_Q_PER_BIN = 2
 
 
 def _geom(d: int, h: int, gy: int):
@@ -77,7 +82,7 @@ def _wpad(w: int) -> int:
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None) -> bool:
-    if cfg.dim != 3 or cfg.padding_mode != "zeros":
+    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES:
         return False
     n, c, d, h, w = cells_shape
     w = _wpad(w)
@@ -85,6 +90,14 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     if 3 * n * c * wy * w * 4 > vmem_budget:        # brick scratch
         return False
     if 3 * n * c * wy * V3B_Q_BLOCK * 4 > vmem_budget:  # stage-1 panel
+        return False
+    # in-kernel x one-hot panels (3 f32 (wpad, Qb)) + the bf16 split copies
+    # of the brick rows: a degenerate very-wide-W volume can pass the
+    # gates above yet blow VMEM at runtime (see mxu.EXACT_PASSES).
+    from . import mxu
+    if 3 * w * V3B_Q_BLOCK * 4 > vmem_budget:
+        return False
+    if mxu.EXACT_PASSES * 3 * n * c * wy * w * 2 > vmem_budget:
         return False
     nby, _, nbins, hp = _geom(d, h, V3B_GY)
     if (d + 4) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
@@ -121,10 +134,8 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
     """
     q = points.shape[0]
     nby, nbz, nbins, _ = _geom(d, h, gy)
-    bz_f, _ = unnormalize(points[:, 2].astype(jnp.float32), d,
-                          cfg.align_corners, cfg.multicell, 0.0)
-    by_f, _ = unnormalize(points[:, 1].astype(jnp.float32), h,
-                          cfg.align_corners, cfg.multicell, 0.0)
+    bz_f = bin_base(points[:, 2].astype(jnp.float32), d, cfg)
+    by_f = bin_base(points[:, 1].astype(jnp.float32), h, cfg)
     fz = jnp.floor(jax.lax.stop_gradient(bz_f)).astype(jnp.int32)
     fy = jnp.floor(jax.lax.stop_gradient(by_f)).astype(jnp.int32)
     bz = jnp.clip(fz + 2, 0, nbz - 1)
@@ -173,29 +184,14 @@ def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
     the window-local hit row is fy + 2 - start + j.  Queries whose fy is
     outside the block's y group (clipped far-OOB bins) are masked.
     """
-    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
-                             0.0)
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     loc = fb + 2.0 - start.astype(jnp.float32)          # (1, Qb)
     ymask = ((loc >= 0.0) & (loc <= float(gy - 1))).astype(jnp.float32)
     loci = jnp.clip(loc, 0.0, float(gy - 1)).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (gy + 2, q_block), 0)
     hits = [(iota == loci + j).astype(jnp.float32) for j in range(3)]
-
-    ixn = base + off_col
-    fxn = jnp.floor(ixn)
-    s = jnp.minimum(fxn - fb, 1.0)
-    t = ixn - (fb + s)
-    scale = mult[0, 0]
-    weights = []
-    for k in range(3):
-        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
-        if k > 0:
-            w0 = w0 * scale**k
-            w1 = w1 * scale**k
-        ns = 1.0 - s
-        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
-    return hits, weights, ymask
+    return hits, cell_weights(base, ixn, scale, cfg), ymask
 
 
 def _pad_volume(cells, d, h, w, hp, wp):
@@ -210,31 +206,17 @@ def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
     """fused3d._axis_prep with the one-hot hit rows spanning the
     lane-padded width ``wp`` >= size (pad rows never match in-bounds
     corner indices, so they read zeros / receive cropped scatters)."""
-    base, mult = unnormalize(coord, size, cfg.align_corners, cfg.multicell,
-                             0.0)
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (wp, q_block), 0)
     hits = [(iota == fbi + j).astype(jnp.float32) for j in range(3)]
-
-    ixn = base + off_col
-    fxn = jnp.floor(ixn)
-    s = jnp.minimum(fxn - fb, 1.0)
-    t = ixn - (fb + s)
-    scale = mult[0, 0]
-    weights = []
-    for k in range(3):
-        w0, w1 = corner_weights(cfg.kernel, t, k, precise_trig=True)
-        if k > 0:
-            w0 = w0 * scale**k
-            w1 = w1 * scale**k
-        ns = 1.0 - s
-        weights.append((ns * w0, ns * w1 + s * w0, s * w1))
-    return hits, weights
+    return hits, cell_weights(base, ixn, scale, cfg)
 
 
 def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          hasv_ref, off_ref, vol_ref, out_ref, scratch, sem,
+                          hasv_ref, z0n_ref, y0n_ref, first_ref, last_ref,
+                          par_ref, off_ref, vol_ref, out_ref, scratch, sem,
                           *, cfg, spatial, gy, q_block, channels,
                           n_cells, wpad):
     d, h, w = spatial
@@ -243,13 +225,29 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     wy_rows = gy + 2
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
+    p = par_ref[0, 0, 0]
+
+    # Double-buffered brick prefetch across grid steps: block i waits for
+    # the DMA that block i-1 started into slot i%2 and starts block i+1's
+    # brick into the other slot.  Scratch/semaphores persist across the
+    # sequential TPU grid; padding (hasv=0) blocks keep the chain alive.
+    def brick_dma(slot, zz, yy):
+        return pltpu.make_async_copy(
+            vol_ref.at[pl.ds(zz, 3), :, pl.ds(yy, wy_rows), :],
+            scratch.at[pl.ds(3 * slot, 3)], sem.at[slot])
+
+    @pl.when(first_ref[0, 0, 0] > 0)
+    def _():
+        brick_dma(p, z0, y0).start()
+
+    brick_dma(p, z0, y0).wait()
+
+    @pl.when(last_ref[0, 0, 0] == 0)
+    def _():
+        brick_dma(1 - p, z0n_ref[0, 0, 0], y0n_ref[0, 0, 0]).start()
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
-        cp = pltpu.make_async_copy(
-            vol_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
-            scratch, sem)
-        cp.start()
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
         hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
@@ -257,9 +255,8 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                                             q_block, y0, gy)
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
-        cp.wait()
         # stage 1 (MXU): contract x against every brick row
-        rows = scratch[...].reshape(3 * c * n * wy_rows, wpad)
+        rows = scratch[pl.ds(3 * p, 3)].reshape(3 * c * n * wy_rows, wpad)
         terms = mxu.split_bf16(rows, mxu.EXACT_PASSES)
         b1 = [
             mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
@@ -306,6 +303,12 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     vol = _pad_volume(cells, d, h, w, hp, wp)
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    z0n = jnp.roll(z0, -1).at[-1].set(z0[-1])
+    y0n = jnp.roll(y0, -1).at[-1].set(y0[-1])
+    first = (bi == 0).astype(jnp.int32)
+    last = (bi == nblocks - 1).astype(jnp.int32)
+    parity = (bi % 2).astype(jnp.int32)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -322,6 +325,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec,
+            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
             pl.BlockSpec((n, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -330,8 +334,8 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, c * n, gy + 2, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((6, c * n, gy + 2, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -339,15 +343,18 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
         interpret=interpret,
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1), offsets, vol)
+      hasv.reshape(nblocks, 1, 1),
+      z0n.reshape(nblocks, 1, 1), y0n.reshape(nblocks, 1, 1),
+      first.reshape(nblocks, 1, 1), last.reshape(nblocks, 1, 1),
+      parity.reshape(nblocks, 1, 1), offsets, vol)
     return out[:, positions].reshape(7, c, q).astype(
         jnp.promote_types(cells.dtype, points.dtype))
 
 
 def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                        hasv_ref, off_ref, g_ref, vol0_ref, out_ref, scratch,
-                        sem_in, sem_out, *, cfg, spatial, gy, q_block,
-                        channels, n_cells, wpad):
+                        hasv_ref, sp_ref, sn_ref, off_ref, g_ref, vol0_ref,
+                        out_ref, scratch, sem_in, sem_out, *, cfg, spatial,
+                        gy, q_block, channels, n_cells, wpad):
     del vol0_ref  # aliased to out_ref; zero-initialized by XLA
     d, h, w = spatial
     c = channels
@@ -358,10 +365,18 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
+        # Same-bin RMW elision: when the previous block already holds this
+        # bin's brick in scratch (sp), skip the read; when the next block
+        # continues this bin (sn), defer the writeback to it.  Bins pad to
+        # whole blocks with real blocks first, so a deferring block's
+        # successor always computes (hasv folded into sn host-side).
         cp = pltpu.make_async_copy(
             out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
             scratch, sem_in)
-        cp.start()
+
+        @pl.when(sp_ref[0, 0, 0] == 0)
+        def _():
+            cp.start()
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
         hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
@@ -392,15 +407,20 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             contrib = contrib + mxu.onehot_dot(
                 u.reshape(3 * c * n * wy_rows, q_block), hx[i],
                 (((1,), (1,)), ((), ())))                  # (rows, W)
-        cp.wait()
+        @pl.when(sp_ref[0, 0, 0] == 0)
+        def _():
+            cp.wait()
         scratch[...] = scratch[...] + contrib.reshape(3, c * n, wy_rows,
                                                       wpad)
-        cp2 = pltpu.make_async_copy(
-            scratch,
-            out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
-            sem_out)
-        cp2.start()
-        cp2.wait()
+
+        @pl.when(sn_ref[0, 0, 0] == 0)
+        def _():
+            cp2 = pltpu.make_async_copy(
+                scratch,
+                out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
+                sem_out)
+            cp2.start()
+            cp2.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
@@ -425,6 +445,11 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
     vol0 = jnp.zeros((d + 4, c * n, hp, wp), jnp.float32)
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
+    same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
+    sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
+    sp = jnp.roll(sn, 1).at[0].set(0)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -440,7 +465,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec,
+            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
             pl.BlockSpec((n, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
@@ -453,14 +478,16 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
             pltpu.VMEM((3, c * n, gy + 2, wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={9: 0},
+        input_output_aliases={11: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1), offsets, gq, vol0)
+      hasv.reshape(nblocks, 1, 1),
+      sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
+      offsets, gq, vol0)
     acc = acc.reshape(d + 4, c, n, hp, wp)[2:2 + d, :, :, 2:2 + h, :w]
     return acc.transpose(2, 1, 0, 3, 4).astype(
         jnp.promote_types(g.dtype, points.dtype))

@@ -102,7 +102,7 @@ def test_supports_gating():
     assert supports(SamplerConfig(dim=3), big, budget, n_queries=1_000_000)
     # too few queries for ~8.5k bins -> XLA fallback
     assert not supports(SamplerConfig(dim=3), big, budget, n_queries=10_000)
-    assert not supports(SamplerConfig(dim=3, padding_mode="border"), big,
+    assert not supports(SamplerConfig(dim=3, padding_mode="reflection"), big,
                         budget)
     assert not supports(SamplerConfig(dim=2), (50, 4, 16, 16), budget)
     # W not 128-aligned: handled via internal lane padding
