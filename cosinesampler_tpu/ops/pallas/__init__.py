@@ -13,7 +13,7 @@ import math
 
 from .. import generic
 from ..sampler import register_backend
-from . import fused2d, fused3b, fused3d, fused3s
+from . import fused2d, fused3b, fused3d, fused3s, fused3w
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 
@@ -57,12 +57,24 @@ def _splat(gout, grid, in_spatial, cfg, orders):
                         interpret=INTERPRET)
 
 
+def _strict_mixed_align(cfg) -> bool:
+    """strict-mode 2D + align_corners=False: the value row needs the
+    reference's hardcoded align=True while derivative rows need the real
+    flag — per-row alignment the single-pass fused kernels cannot mix.
+    The XLA fused fallback computes each row via generic.blend and is
+    faithful automatically."""
+    return cfg.strict_reference and cfg.dim == 2 and not cfg.align_corners
+
+
 def _fused_blend(cells, points, cfg):
-    if _f64(cells, points):
+    if _f64(cells, points) or _strict_mixed_align(cfg):
         return None
     if fused2d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_blend(cells, points, cfg,
                                            interpret=INTERPRET)
+    if fused3w.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
+        return fused3w.pallas_fused3w_blend(cells, points, cfg,
+                                            interpret=INTERPRET)
     if fused3s.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
         return fused3s.pallas_fused3s_blend(cells, points, cfg,
                                             interpret=INTERPRET)
@@ -78,12 +90,15 @@ def _fused_blend(cells, points, cfg):
 
 
 def _fused_bwd(g, points, in_spatial, cfg, n_cells):
-    if _f64(g, points):
+    if _f64(g, points) or _strict_mixed_align(cfg):
         return None
     shape = (n_cells, g.shape[1], *in_spatial)
     if fused2d.supports(cfg, shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_bwd(g, points, tuple(in_spatial), cfg,
                                          n_cells, interpret=INTERPRET)
+    if fused3w.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
+        return fused3w.pallas_fused3w_bwd(g, points, tuple(in_spatial), cfg,
+                                          n_cells, interpret=INTERPRET)
     if fused3s.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
         return fused3s.pallas_fused3s_bwd(g, points, tuple(in_spatial), cfg,
                                           n_cells, interpret=INTERPRET)

@@ -1,0 +1,405 @@
+"""v5 windowed 3D fused kernels: the (y, x) gather window folded into K.
+
+Round-1's v3 kernels (fused3s.py) bin queries by z-slab and pay 27 one-hot
+contractions at K = H*W per query block.  This generation folds BOTH the
+3-slab z window and a (gy+2)-row y window into the contraction dimension:
+
+1. Queries are binned by ``(floor(base_z), floor(base_y) // gy)`` (the v4
+   brick sort, fused3b._brick_bin), so each kernel block's queries share one
+   (3 slab) x (gy+2 row) x W texel window.
+2. The padded volume is re-laid out XLA-side as a per-bin window array
+   ``(nbins, 3*C*N, (gy+2)*Wp)`` with the window texels contiguous on the
+   LANE dimension — Mosaic cannot merge (sublane, lane) dims in-kernel, so
+   the (rows, x) flattening has to happen host-side.
+3. Per corner pair (j, i) the gather is ONE one-hot matmul against a fused
+   (y, x)-window selector of K = (gy+2)*Wp:
+
+       v_kji[(slab k, c, n), q] = window[(k, c, n), :] @ onehot_ji[:, q]
+
+   with all 3 z-slabs stacked along M.  For 16^3 (Wp = 16, rows = 8) that
+   is 9 matmuls of (3*C*N, 128) x (128, Qb) per block, vs v3's 27 of
+   (C*N, 256) x (256, Qb): ~2.4x fewer MXU tiles, and K = 128 exactly fills
+   the MXU depth.  This supersedes the planned literal backport of the v4
+   two-stage separable contraction (MXU over x + VPU row blend): fusing the
+   row blend INTO the matmul removes the VPU stage as well and needs no
+   in-kernel reshape.
+4. The window array lives in HBM; each block DMAs its (1, 3*C*N, K) window
+   into VMEM scratch (bin index is data-dependent, so a BlockSpec index_map
+   cannot express it).  The volume itself never needs to be VMEM-resident,
+   so v5 also covers mid-size volumes (~32^3-64^3) that v3 rejects; only
+   the window-array duplication factor (~3 * rows/gy) gates the top end,
+   where the v4 bricked kernels take over.
+5. The gradient is the exact transpose: per-block window cotangents
+   accumulate into the window array via sequential-grid read-modify-write
+   (deterministic, atomic-free — the design replacing the CUDA reference's
+   fastAtomicAdd scatters, cosine_sampler_3d_kernel.cu:506-523), then an
+   XLA-side overlap-add folds the windows back onto the padded volume.
+
+Out-of-bounds semantics match the reference CUDA bounds-check-to-zero
+(cosine_sampler_3d_kernel.cu:343-369): x corners via masked one-hot
+positions, y/z via the zero pad margins plus bin-membership masks.  Scope
+is padding_mode='zeros' + shared query points, like the other fused
+generations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SamplerConfig
+from ..coords import multicell_offsets
+from . import mxu
+from .fused3b import _brick_bin, _geom, _pad_volume
+from .fused3d import _ROWS_3D
+from .fused3s import _z_weights
+from .prep import FUSED_PADDING_MODES, axis_transform, cell_weights
+
+V3W_Q_BLOCK = 256
+V3W_MIN_Q = 2048
+# HBM budget for the per-bin window array (it duplicates the volume by
+# ~3 * rows/gy); above this the v4 bricked kernels take over.
+_WIN_HBM_BUDGET = 1 << 30
+# Below ~this many queries per bin the padded bin blocks dominate.
+_MIN_Q_PER_BIN = 8
+
+
+def _xpad(w: int) -> int:
+    """x size padded so K = rows * wp is lane-aligned: the next power of
+    two up to 128, then 128-multiples.  Pad columns hold zeros (inert)."""
+    if w > 128:
+        return -(-w // 128) * 128
+    p = 1
+    while p < w:
+        p *= 2
+    return p
+
+
+def _win_rows(wp: int) -> int:
+    """Rows per window: >= 4 (3 corner rows + 1 so gy >= 2) and enough to
+    make K = rows * wp at least one full 128-lane tile."""
+    return max(4, 128 // wp) if wp <= 128 else 4
+
+
+def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
+             n_queries: int | None = None) -> bool:
+    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES:
+        return False
+    n, c, d, h, w = cells_shape
+    wp = _xpad(w)
+    rows = _win_rows(wp)
+    gy = rows - 2
+    k = rows * wp
+    cn3 = 3 * n * c
+    if cn3 * k * 4 > vmem_budget:                   # window scratch
+        return False
+    # bf16 split copies of the window + the (K, Qb) hit panels
+    if mxu.EXACT_PASSES * cn3 * k * 2 > vmem_budget:
+        return False
+    if k * V3W_Q_BLOCK * 4 > vmem_budget:
+        return False
+    nby, nbz, nbins, hp = _geom(d, h, gy)
+    if nbins * cn3 * k * 4 > _WIN_HBM_BUDGET:       # window array
+        return False
+    if n_queries is not None and n_queries < max(
+            V3W_MIN_Q, _MIN_Q_PER_BIN * nbins):
+        return False
+    return True
+
+
+def _x_prep(coord, size, cfg, off_col):
+    """Per-corner x window positions (-1 = out of bounds) + cell weights."""
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
+    fb = jnp.floor(base)
+    fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
+    px = []
+    for i in range(3):
+        ci = fbi + i
+        ok = (ci >= 0) & (ci <= size - 1)
+        px.append(jnp.where(ok, ci, -1))
+    return px, cell_weights(base, ixn, scale, cfg)
+
+
+def _y_prep(coord, size, cfg, off_col, y0, gy):
+    """Window-local y corner rows + cell weights + bin-membership mask."""
+    base, ixn, scale = axis_transform(coord, size, cfg, off_col)
+    fb = jnp.floor(base)
+    loc = fb + 2.0 - y0.astype(jnp.float32)
+    ymask = ((loc >= 0.0) & (loc <= float(gy - 1))).astype(jnp.float32)
+    loci = jnp.clip(loc, 0.0, float(gy - 1)).astype(jnp.int32)
+    ry = [loci + j for j in range(3)]
+    return ry, cell_weights(base, ixn, scale, cfg), ymask
+
+
+def _windows(vol, nbins, nby, gy, rows):
+    """(D+4, C*N, Hp, Wp) -> per-bin (nbins, 3*C*N, rows*Wp) window array.
+
+    The (rows, x) flattening onto lanes happens here because Mosaic cannot
+    merge a (sublane, lane) pair in-kernel.
+    """
+    d4, cn, hp, wp = vol.shape
+    idx = jnp.arange(nbins, dtype=jnp.int32)
+    bz = idx // nby
+    by = (idx % nby) * gy
+
+    zero = jnp.int32(0)
+
+    def one(z0b, y0b):
+        return jax.lax.dynamic_slice(vol, (z0b, zero, y0b, zero),
+                                     (3, cn, rows, wp))
+
+    wins = jax.vmap(one)(bz, by)
+    return wins.reshape(nbins, 3 * cn, rows * wp)
+
+
+def _scatter_windows(wins, nbz, nby, gy, rows, cn, hp, wp):
+    """Overlap-add the per-bin window cotangents back onto the padded
+    volume layout (D+4, C*N, Hp, Wp).  Fully vectorized: 3 shifted adds
+    for the z overlap, own-rows + padded-overflow adds for the y overlap.
+    """
+    d4 = nbz + 2
+    wins = wins.reshape(nbz, nby, 3, cn, rows, wp)
+    accz = jnp.zeros((d4, nby, cn, rows, wp), wins.dtype)
+    for k in range(3):           # slab k of window bz lands at padded z=bz+k
+        accz = accz.at[k:k + nbz].add(wins[:, :, k])
+    own = accz[:, :, :, :gy]     # rows owned by the bin
+    ovf = accz[:, :, :, gy:]     # 2 rows spilling into the next y group
+    ext = nby * gy + gy
+    out = jnp.zeros((d4, cn, ext, wp), wins.dtype)
+    out = out.at[:, :, :nby * gy].add(
+        own.transpose(0, 2, 1, 3, 4).reshape(d4, cn, nby * gy, wp))
+    ovf_p = jnp.pad(ovf, ((0, 0), (0, 0), (0, 0), (0, gy - 2), (0, 0)))
+    out = out.at[:, :, gy:gy + nby * gy].add(
+        ovf_p.transpose(0, 2, 1, 3, 4).reshape(d4, cn, nby * gy, wp))
+    return out[:, :, :hp]
+
+
+def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
+                          hasv_ref, off_ref, win_ref, out_ref, scratch, sem,
+                          *, cfg, spatial, gy, q_block, channels, n_cells,
+                          wp, nby):
+    d, h, w = spatial
+    c = channels
+    n = n_cells
+    rows = gy + 2
+    k_win = rows * wp
+    z0 = z0_ref[0, 0, 0]
+    y0 = y0_ref[0, 0, 0]
+    bbin = z0 * nby + y0 // gy
+
+    @pl.when(hasv_ref[0, 0, 0] > 0)
+    def _():
+        cp = pltpu.make_async_copy(win_ref.at[pl.ds(bbin, 1)], scratch, sem)
+        cp.start()
+        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        off_col = off_ref[:, 0:1]
+        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
+        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        mask = valid * ymask * zmask
+        cp.wait()
+        terms = mxu.split_bf16(scratch[0], mxu.EXACT_PASSES)  # (3*C*N, K)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
+        rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
+        for j in range(3):
+            rb = ry[j] * wp
+            for i in range(3):
+                pos = jnp.where(px[i] >= 0, rb + px[i], -1)
+                hit = (iota == pos).astype(jnp.float32)       # (K, Qb)
+                v = mxu.onehot_dot_terms(
+                    terms, hit, (((1,), (0,)), ((), ())))     # (3*C*N, Qb)
+                v = v.reshape(3, c, n, q_block)
+                for r, (kx, ky, kz) in enumerate(_ROWS_3D):
+                    wyx = wy[ky][j] * wx[kx][i]               # (N, Qb)
+                    acc = (wz[kz][0] * wyx)[None] * v[0]
+                    acc = acc + (wz[kz][1] * wyx)[None] * v[1]
+                    acc = acc + (wz[kz][2] * wyx)[None] * v[2]
+                    rows_acc[r] = rows_acc[r] + jnp.sum(acc, axis=1)
+        out_ref[:] = jnp.concatenate(rows_acc, axis=0) * mask
+
+    @pl.when(hasv_ref[0, 0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
+                         q_block: int = V3W_Q_BLOCK, interpret: bool = False):
+    """(7, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed)."""
+    n, c, d, h, w = cells.shape
+    q = points.shape[0]
+    wp = _xpad(w)
+    rows = _win_rows(wp)
+    gy = rows - 2
+    nby, nbz, nbins, hp = _geom(d, h, gy)
+    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, gy)
+    nblocks = qp // q_block
+
+    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
+    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    vol = _pad_volume(cells, d, h, w, hp, wp)
+    wins = _windows(vol, nbins, nby, gy, rows)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused3w_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+        q_block=q_block, channels=c, n_cells=n, wp=wp, nby=nby)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((7 * c, q_block), lambda qi: (0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 3 * c * n, rows * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, validf,
+      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
+      hasv.reshape(nblocks, 1, 1), offsets, wins)
+    return out[:, positions].reshape(7, c, q).astype(
+        jnp.promote_types(cells.dtype, points.dtype))
+
+
+def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
+                        hasv_ref, off_ref, g_ref, wins0_ref, out_ref,
+                        scratch, sem_in, sem_out, *, cfg, spatial, gy,
+                        q_block, channels, n_cells, wp, nby):
+    del wins0_ref  # aliased to out_ref; zero-initialized by XLA
+    d, h, w = spatial
+    c = channels
+    n = n_cells
+    rows = gy + 2
+    k_win = rows * wp
+    z0 = z0_ref[0, 0, 0]
+    y0 = y0_ref[0, 0, 0]
+    bbin = z0 * nby + y0 // gy
+
+    @pl.when(hasv_ref[0, 0, 0] > 0)
+    def _():
+        cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
+                                   sem_in)
+        cp.start()
+        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        off_col = off_ref[:, 0:1]
+        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
+        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        mask = valid * ymask * zmask
+
+        g = g_ref[:].reshape(7, c, q_block)
+        gv = [g[r] * mask for r in range(7)]
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
+        contrib = jnp.zeros((3 * c * n, k_win), jnp.float32)
+        for j in range(3):
+            rb = ry[j] * wp
+            for i in range(3):
+                pos = jnp.where(px[i] >= 0, rb + px[i], -1)
+                hit = (iota == pos).astype(jnp.float32)
+                ps = []
+                for k in range(3):
+                    p = jnp.zeros((c, n, q_block), jnp.float32)
+                    for r, (kx, ky, kz) in enumerate(_ROWS_3D):
+                        coeff = wz[kz][k] * wy[ky][j] * wx[kx][i]
+                        p = p + coeff[None, :, :] * gv[r][:, None, :]
+                    ps.append(p)
+                pk = jnp.stack(ps, axis=0).reshape(3 * c * n, q_block)
+                contrib = contrib + mxu.onehot_dot(
+                    pk, hit, (((1,), (1,)), ((), ())))        # (3*C*N, K)
+        cp.wait()
+        scratch[...] = scratch[...] + contrib[None]
+        cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
+                                    sem_out)
+        cp2.start()
+        cp2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
+                       cfg: SamplerConfig, n_cells: int,
+                       q_block: int = V3W_Q_BLOCK, interpret: bool = False):
+    """Cells-cotangent of pallas_fused3w_blend: (N, C, D, H, W)."""
+    d, h, w = in_spatial
+    k_rows, c, q = g.shape
+    n = n_cells
+    wp = _xpad(w)
+    rows = _win_rows(wp)
+    gy = rows - 2
+    nby, nbz, nbins, hp = _geom(d, h, gy)
+    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, gy)
+    nblocks = qp // q_block
+
+    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
+    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
+    wins0 = jnp.zeros((nbins, 3 * c * n, rows * wp), jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused3w_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+        q_block=q_block, channels=c, n_cells=n, wp=wp, nby=nby)
+    wins = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nbins, 3 * c * n, rows * wp),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 3 * c * n, rows * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, validf,
+      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
+      hasv.reshape(nblocks, 1, 1), offsets, gq, wins0)
+    acc = _scatter_windows(wins, nbz, nby, gy, rows, c * n, hp, wp)
+    acc = acc.reshape(d + 4, c, n, hp, wp)[2:2 + d, :, :, 2:2 + h, :w]
+    return acc.transpose(2, 1, 0, 3, 4).astype(
+        jnp.promote_types(g.dtype, points.dtype))

@@ -13,7 +13,8 @@ import pytest
 
 import cosinesampler_tpu.ops.pallas as pb
 from cosinesampler_tpu.ops.config import SamplerConfig
-from cosinesampler_tpu.ops.pallas import fused2d, fused3b, fused3d, fused3s
+from cosinesampler_tpu.ops.pallas import (fused2d, fused3b, fused3d, fused3s,
+                                          fused3w)
 
 
 def _route_blend(monkeypatch, cells_shape, q, cfg):
@@ -30,6 +31,7 @@ def _route_blend(monkeypatch, cells_shape, q, cfg):
         return orig
 
     spy(fused2d, "pallas_fused2_blend", "2d")
+    spy(fused3w, "pallas_fused3w_blend", "3w")
     spy(fused3s, "pallas_fused3s_blend", "3s")
     spy(fused3b, "pallas_fused3b_blend", "3b")
     spy(fused3d, "pallas_fused3_blend", "3d")
@@ -46,10 +48,16 @@ def _route_blend(monkeypatch, cells_shape, q, cfg):
 CFG3 = SamplerConfig(dim=3, backend="pallas")
 
 
-def test_small_3d_volume_large_q_routes_to_v3(monkeypatch):
-    # reference 3D workload: VMEM-resident volume, 100k queries
+def test_small_3d_volume_large_q_routes_to_v5(monkeypatch):
+    # reference 3D workload: windowed kernels (v5)
     assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 100_000,
-                        CFG3) == "3s"
+                        CFG3) == "3w"
+
+
+def test_mid_3d_volume_routes_to_v5(monkeypatch):
+    # 64^3 exceeds the VMEM-resident budget but fits the window array
+    assert _route_blend(monkeypatch, (16, 4, 64, 64, 64), 1_000_000,
+                        CFG3) == "3w"
 
 
 def test_small_3d_volume_small_q_routes_to_v2(monkeypatch):
@@ -74,10 +82,19 @@ def test_large_3d_volume_unaligned_w_routes_to_v4(monkeypatch):
                         CFG3) == "3b"
 
 
-def test_border_padding_routes_past_shared_support(monkeypatch):
+def test_border_padding_routes_to_windowed(monkeypatch):
+    # border is supported by the shared-support generations since round 2
     cfg = SamplerConfig(dim=3, padding_mode="border", backend="pallas")
     assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 100_000,
-                        cfg) == "v1"
+                        cfg) == "3w"
+
+
+def test_reflection_padding_routes_to_v2(monkeypatch):
+    # reflection needs the 4-texel widened patch: only the VMEM-resident
+    # v2 generations implement it (binned generations skip to fused3d)
+    cfg = SamplerConfig(dim=3, padding_mode="reflection", backend="pallas")
+    assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 100_000,
+                        cfg) == "3d"
 
 
 def test_2d_routes_to_v2_2d(monkeypatch):
@@ -87,7 +104,7 @@ def test_2d_routes_to_v2_2d(monkeypatch):
 
 @pytest.mark.parametrize(
     "shape,q,want",
-    [((50, 4, 16, 16, 16), 100_000, "3s"),
+    [((50, 4, 16, 16, 16), 100_000, "3w"),
      ((16, 4, 128, 128, 128), 1_000_000, "3b"),
      ((50, 4, 16, 16, 16), 120, "3d")])
 def test_bwd_dispatch_mirrors_blend(monkeypatch, shape, q, want):
@@ -100,6 +117,7 @@ def test_bwd_dispatch_mirrors_blend(monkeypatch, shape, q, want):
         monkeypatch.setattr(module, name, wrapper)
 
     spy(fused2d, "pallas_fused2_bwd", "2d")
+    spy(fused3w, "pallas_fused3w_bwd", "3w")
     spy(fused3s, "pallas_fused3s_bwd", "3s")
     spy(fused3b, "pallas_fused3b_bwd", "3b")
     spy(fused3d, "pallas_fused3_bwd", "3d")
