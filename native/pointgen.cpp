@@ -4,7 +4,7 @@
 // the host once (test/test_2d.py:28).  A production PINN trainer draws a
 // fresh collocation batch every step; on the single-core TPU hosts this
 // competes with the Python driver, so batch generation lives here: a C++
-// worker thread fills a ring of buffers with counter-based (Philox-lite)
+// worker thread fills a ring of buffers with counter-based Philox-2x32-10
 // uniforms — deterministic for a given seed, regeneratable at any step for
 // checkpoint/resume, and overlapped with device execution.
 //
@@ -20,8 +20,12 @@
 
 namespace {
 
-// Philox-2x32-10: small counter-based RNG, statistically solid and
-// reproducible across platforms (no global state, seekable by counter).
+// Philox-2x32-10 (Salmon et al., "Parallel Random Numbers: As Easy as
+// 1, 2, 3", SC'11): counter-based, no global state, seekable by counter.
+// The 2x32 variant uses a SINGLE multiplier by design (only 4x32 has a
+// pair); kMul/kWeyl are Random123's PHILOX_M2x32_0 / PHILOX_W32_0, and
+// the implementation reproduces the Random123 kat_vectors known-answer
+// outputs (pinned in tests/test_pointgen.py along with uniformity checks).
 struct Philox2x32 {
   static constexpr uint32_t kMul = 0xD256D193u;
   static constexpr uint32_t kWeyl = 0x9E3779B9u;

@@ -3,7 +3,43 @@
 import numpy as np
 import pytest
 
-from cosinesampler_tpu.utils.pointgen import PointGenerator, _build_library
+from cosinesampler_tpu.utils.pointgen import (PointGenerator, _build_library,
+                                              _philox2x32)
+
+
+def _kat(c0, c1, key):
+    ctr = np.array([np.uint64(c0) | (np.uint64(c1) << np.uint64(32))],
+                   dtype=np.uint64)
+    return [int(v) for v in _philox2x32(ctr, np.uint32(key))[0]]
+
+
+def test_philox2x32_known_answer_vectors():
+    """The generator is real Philox-2x32-10: it reproduces the Random123
+    known-answer test vectors (kat_vectors, philox2x32 10 rounds).  The
+    2x32 variant has a single multiplier (0xD256D193) by design — only
+    4x32 uses a pair."""
+    assert _kat(0x00000000, 0x00000000, 0x00000000) == [0xFF1DAE59, 0x6CD10DF2]
+    assert _kat(0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF) == [0x2C3F628B, 0xAB4FD7AD]
+    assert _kat(0x243F6A88, 0x85A308D3, 0x13198A2E) == [0xDD7CE038, 0xF62A4C12]
+
+
+def test_philox_stream_uniformity():
+    """Basic statistical checks on the uniform stream: moment match,
+    chi-square over 64 bins, and per-bit balance of the raw words."""
+    n = 1 << 16
+    g = PointGenerator(n, 1, seed=123, lo=0.0, hi=1.0, force_numpy=True)
+    u = g.batch(0).reshape(-1).astype(np.float64)
+    assert abs(u.mean() - 0.5) < 4.0 / np.sqrt(12 * n)       # ~4 sigma
+    assert abs(u.var() - 1.0 / 12.0) < 0.001
+    counts = np.bincount((u * 64).astype(int), minlength=64)
+    expect = n / 64.0
+    chi2 = float(((counts - expect) ** 2 / expect).sum())    # df = 63
+    assert chi2 < 120.0                                      # p ~ 1e-5 bound
+    ctr = np.arange(n, dtype=np.uint64)
+    bits = _philox2x32(ctr, np.uint32(9)).reshape(-1)
+    for b in range(32):
+        frac = float(((bits >> np.uint32(b)) & np.uint32(1)).mean())
+        assert abs(frac - 0.5) < 0.01
 
 
 def test_numpy_fallback_deterministic():
