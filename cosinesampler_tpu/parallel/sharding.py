@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.config import SamplerConfig
+from ..ops.fused import sample_features_with_derivs
 from ..ops.sampler import sample
 
 POINTS_AXIS = "points"
@@ -60,6 +61,28 @@ def sharded_sample(input, grid, cfg: SamplerConfig, mesh: Mesh,
         check_vma=False,
     )
     return fn(input, grid)
+
+
+def sharded_fused_features(cells, points, cfg: SamplerConfig, mesh: Mesh,
+                           axis: str = POINTS_AXIS):
+    """The fused PINN op (value/jac/diag-Hessian) with points sharded.
+
+    Each shard runs the full fused kernel stack (Pallas on TPU) on its
+    slice of the query cloud; the cells stay replicated and their
+    cotangent is psum-reduced by shard_map's transpose.  This is the
+    flagship op under shard_map — the v1 `sharded_sample` path wraps the
+    per-order blend family instead.
+    """
+    def local(c, p):
+        return sample_features_with_derivs(c, p, cfg)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(None, None, axis),
+        check_vma=False,
+    )
+    return fn(cells, points)
 
 
 def shard_pinn_step(step_fn, mesh: Mesh, axis: str = POINTS_AXIS):

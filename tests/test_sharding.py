@@ -61,6 +61,40 @@ def test_sharded_train_step_matches_single_device(mesh):
         np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)
 
 
+def test_sharded_fused_pallas_interpret(mesh):
+    """The FUSED flagship op under shard_map with the Pallas kernels in
+    interpret mode: forward parity + the cell-cotangent psum placement
+    (shard_map transpose) vs the single-device run."""
+    import cosinesampler_tpu.ops.pallas as pb
+    from cosinesampler_tpu.ops.fused import sample_features_with_derivs
+    from cosinesampler_tpu.parallel.sharding import sharded_fused_features
+
+    rng = np.random.RandomState(2)
+    cfg = SamplerConfig(dim=2, kernel="cosine", multicell=True,
+                        backend="pallas")
+    cells = jnp.asarray(rng.rand(4, 2, 8, 8), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 2)), jnp.float32)
+
+    old = pb.INTERPRET
+    pb.INTERPRET = True
+    try:
+        want = sample_features_with_derivs(cells, pts, cfg)
+        got = sharded_fused_features(cells, pts, cfg, mesh)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        g = jnp.asarray(rng.rand(*want.shape), jnp.float32)
+        cot_single = jax.vjp(
+            lambda c: sample_features_with_derivs(c, pts, cfg), cells
+        )[1](g)[0]
+        cot_shard = jax.vjp(
+            lambda c: sharded_fused_features(c, pts, cfg, mesh), cells
+        )[1](g)[0]
+        np.testing.assert_allclose(cot_shard, cot_single, rtol=1e-4,
+                                   atol=1e-5)
+    finally:
+        pb.INTERPRET = old
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     import pathlib
