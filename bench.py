@@ -112,16 +112,19 @@ def _timed(run, *args):
     return time.perf_counter() - t0
 
 
-def _kernel_roofline(params, pts, cfg):
-    """Time the fused fwd kernel alone; report achieved HBM bandwidth %.
+def _kernel_roofline(params, pts, cfg, generation, reps=50):
+    """Time the fused fwd kernel alone; report HBM% and MXU utilization.
 
     The kernel is iterated inside ONE jitted scan (with a serializing data
     dependency) so per-dispatch tunnel latency doesn't pollute the number.
+    The one-hot-contraction kernels are MXU-bound, not HBM-bound, so the
+    meaningful occupancy number is achieved MACs vs the bf16 MXU peak
+    (utils/profiling.mxu_roofline).
     """
     from cosinesampler_tpu.ops.fused import sample_features_with_derivs
-    from cosinesampler_tpu.utils.profiling import V5E_HBM_GBPS
-
-    reps = 50
+    from cosinesampler_tpu.utils.profiling import (V5E_HBM_GBPS,
+                                                   fused_gather_macs,
+                                                   mxu_roofline)
 
     @jax.jit
     def many(c, p):
@@ -138,13 +141,18 @@ def _kernel_roofline(params, pts, cfg):
     sec = min(_timed(many, params["cells"], pts * (0.999 - 1e-4 * i))
               for i in range(3)) / reps
     n, c = params["cells"].shape[:2]
+    spatial = params["cells"].shape[2:]
     q = pts.shape[0]
     k_rows = 1 + 2 * cfg.dim
     bytes_moved = (params["cells"].size + q * cfg.dim + k_rows * c * q) * 4
     gbps = bytes_moved / sec / 1e9
-    log(f"fused fwd kernel: {sec * 1e6:.0f}us, {gbps:.0f} GB/s "
-        f"({100 * gbps / V5E_HBM_GBPS:.1f}% of v5e HBM peak)")
-    return sec, 100 * gbps / V5E_HBM_GBPS
+    macs = fused_gather_macs(generation, n, c, spatial, q)
+    mxu = mxu_roofline(sec, macs)
+    log(f"fused fwd kernel ({generation}): {sec * 1e6:.0f}us, {gbps:.0f} "
+        f"GB/s ({100 * gbps / V5E_HBM_GBPS:.1f}% HBM), "
+        f"{mxu['achieved_tmacs_per_sec']:.1f} TMAC/s "
+        f"({mxu['mxu_pct']:.0f}% of v5e bf16 MXU peak)")
+    return sec, 100 * gbps / V5E_HBM_GBPS, mxu["mxu_pct"]
 
 
 def _bench_3d(optimizer):
@@ -161,10 +169,12 @@ def _bench_3d(optimizer):
 
 
 def _bench_large_sweep():
-    """v4 bricked fused fwd at BASELINE config 5 (16 x 4 x 128^3, 1M pts).
+    """v4 bricked kernels at BASELINE config 5 (16 x 4 x 128^3, 1M pts).
 
-    Mpts/s for the single fused value/jac/diag-Hessian pass; the XLA
-    fallback measures 0.6 Mpts/s and its gradient faults (BENCHMARKS.md).
+    Measures all three passes: fused fwd (value/jac/diag-Hessian), fused
+    bwd (cell gradient), and the full Helmholtz PINN train step.  The XLA
+    fallback measures 0.6 Mpts/s fwd and its gradient faults the runtime
+    (BENCHMARKS.md).
     """
     from cosinesampler_tpu.ops.pallas import fused3b
 
@@ -173,22 +183,76 @@ def _bench_large_sweep():
     cells = jnp.asarray(rng.rand(16, 4, 128, 128, 128), jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (1_000_000, 3)), jnp.float32)
     reps = 5
+    out = {}
 
     @jax.jit
-    def many(p, c):
+    def many_fwd(p, c):
         def body(p, _):
-            out = fused3b.pallas_fused3b_blend(c, p, cfg)
-            return p + 1e-30 * out[0, 0, 0], out[0, 0, 0]
+            o = fused3b.pallas_fused3b_blend(c, p, cfg)
+            return p + 1e-30 * o[0, 0, 0], o[0, 0, 0]
         carry, ticks = jax.lax.scan(body, p, None, length=reps)
         return ticks.sum() + carry.sum()
 
-    r = many(pts, cells)
-    jax.block_until_ready(r)
-    sec = min(_timed(many, pts * (0.999 - 1e-4 * i), cells)
+    jax.block_until_ready(many_fwd(pts, cells))
+    sec = min(_timed(many_fwd, pts * (0.999 - 1e-4 * i), cells)
               for i in range(3)) / reps
-    mpts = 1.0 / sec
-    log(f"large sweep v4 fwd: {sec * 1e3:.0f} ms = {mpts:.1f} Mpts/s")
-    return mpts
+    out["fwd_mpts"] = 1.0 / sec
+    log(f"large sweep v4 fwd: {sec * 1e3:.0f} ms = {out['fwd_mpts']:.1f} "
+        "Mpts/s")
+
+    g = jnp.asarray(rng.rand(7, 4, 1_000_000), jnp.float32)
+
+    @jax.jit
+    def many_bwd(gg, p):
+        def body(gg, _):
+            acc = fused3b.pallas_fused3b_bwd(gg, p, (128, 128, 128), cfg, 16)
+            return gg + 1e-30 * acc[0, 0, 0, 0, 0], acc[0, 0, 0, 0, 0]
+        carry, ticks = jax.lax.scan(body, gg, None, length=reps)
+        return ticks.sum() + carry.sum()
+
+    try:
+        jax.block_until_ready(many_bwd(g, pts))
+        sec = min(_timed(many_bwd, g * (0.999 - 1e-4 * i), pts)
+                  for i in range(3)) / reps
+        out["bwd_mpts"] = 1.0 / sec
+        log(f"large sweep v4 bwd: {sec * 1e3:.0f} ms = "
+            f"{out['bwd_mpts']:.1f} Mpts/s")
+    except Exception as e:  # pragma: no cover - infra dependent
+        log(f"large sweep bwd failed ({type(e).__name__})")
+        out["bwd_mpts"] = float("nan")
+
+    try:
+        import optax
+        pcfg = pinn.PINNConfig(dim=3, n_cells=16, cell_dim=4, cell_size=128,
+                               pde="helmholtz", backend="auto")
+        params = {"cells": cells, **{k: v for k, v in pinn.init_params(
+            jax.random.PRNGKey(3), pcfg).items() if k != "cells"}}
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(params)
+        step = jax.jit(pinn.make_train_step(pcfg, optimizer, fused=True))
+
+        @jax.jit
+        def many_step(params, opt_state, p):
+            def body(carry, _):
+                pp, ss = carry
+                pp, ss, lval = step(pp, ss, p)
+                return (pp, ss), lval
+            (_, _), losses = jax.lax.scan(body, (params, opt_state), None,
+                                          length=reps)
+            return losses
+
+        jax.block_until_ready(many_step(params, opt_state, pts))
+        sec = min(_timed(many_step, params, opt_state,
+                         pts * (0.999 - 1e-4 * i)) for i in range(3)) / reps
+        out["train_ms"] = sec * 1e3
+        out["train_mpts"] = 1.0 / sec
+        log(f"large sweep train step: {sec * 1e3:.0f} ms = "
+            f"{out['train_mpts']:.1f} Mpts/s")
+    except Exception as e:  # pragma: no cover
+        log(f"large sweep train failed ({type(e).__name__})")
+        out["train_ms"] = float("nan")
+        out["train_mpts"] = float("nan")
+    return out
 
 
 def _arm_watchdog(seconds: int = 1800):
@@ -259,23 +323,50 @@ def main():
     except Exception as e:  # pragma: no cover - infra dependent
         log(f"naive baseline failed ({type(e).__name__}); using last "
             "recorded baseline 74500 pts/s (BENCHMARKS.md)")
+        naive_ips = float("nan")
         naive_pps = 74500.0
 
+    # same-size comparison (the headline mixes sizes because naive OOMs
+    # at 100k; record the like-for-like 25k ratio too)
     try:
-        kernel_sec, hbm_pct = _kernel_roofline(params, pts, cfg)
+        ips_25k = _bench(fused_step, params, opt_state, pts[:naive_q],
+                         f"fused@{naive_q}")
+        speedup_25k = ips_25k / naive_ips
+        log(f"same-size 25k speedup: {speedup_25k:.1f}x")
+    except Exception as e:  # pragma: no cover
+        log(f"25k fused failed ({type(e).__name__})")
+        speedup_25k = float("nan")
+
+    try:
+        kernel_sec, hbm_pct, mxu_pct = _kernel_roofline(params, pts, cfg,
+                                                        "v2_2d")
     except Exception as e:  # pragma: no cover
         log(f"kernel roofline failed ({type(e).__name__})")
-        kernel_sec, hbm_pct = float("nan"), float("nan")
+        kernel_sec, hbm_pct, mxu_pct = (float("nan"),) * 3
+    try:
+        rng3 = np.random.RandomState(5)
+        cfg3 = pinn.PINNConfig(dim=3, n_cells=50, cell_dim=4, cell_size=16,
+                               kernel="cosine", pde="helmholtz",
+                               backend="auto")
+        params3 = pinn.init_params(jax.random.PRNGKey(5), cfg3)
+        pts3 = jnp.asarray(rng3.uniform(-0.95, 0.95, (N_POINTS, 3)),
+                           jnp.float32)
+        k3_sec, _, mxu3_pct = _kernel_roofline(params3, pts3, cfg3, "v5",
+                                               reps=20)
+    except Exception as e:  # pragma: no cover
+        log(f"3d kernel roofline failed ({type(e).__name__})")
+        k3_sec, mxu3_pct = float("nan"), float("nan")
     try:
         ips_3d = _bench_3d(optimizer)
     except Exception as e:  # pragma: no cover
         log(f"3d bench failed ({type(e).__name__})")
         ips_3d = float("nan")
     try:
-        mpts_large = _bench_large_sweep()
+        large = _bench_large_sweep()
     except Exception as e:  # pragma: no cover
         log(f"large sweep failed ({type(e).__name__})")
-        mpts_large = float("nan")
+        large = {"fwd_mpts": float("nan"), "bwd_mpts": float("nan"),
+                 "train_ms": float("nan"), "train_mpts": float("nan")}
 
     watchdog.cancel()
     print(json.dumps({
@@ -287,11 +378,19 @@ def main():
         "unit": "iters/sec",
         "vs_baseline": round(ours_pps / naive_pps, 3),
         "extra": {
+            "same_size_25k_speedup_x": round(speedup_25k, 1),
             "fused_fwd_kernel_us": round(kernel_sec * 1e6, 1),
             "fused_fwd_hbm_pct_of_v5e_peak": round(hbm_pct, 1),
+            "fused_fwd_mxu_pct_of_v5e_bf16_peak": round(mxu_pct, 1),
+            "fused3d_v5_fwd_kernel_ms": round(k3_sec * 1e3, 2),
+            "fused3d_v5_fwd_mxu_pct": round(mxu3_pct, 1),
             "pinn3d_helmholtz_50x4x16c_100k_iters_per_sec": round(ips_3d, 3),
             "large_sweep_16x4x128c_1M_fused_fwd_mpts_per_sec":
-                round(mpts_large, 2),
+                round(large["fwd_mpts"], 2),
+            "large_sweep_16x4x128c_1M_fused_bwd_mpts_per_sec":
+                round(large["bwd_mpts"], 2),
+            "large_sweep_16x4x128c_1M_train_step_ms":
+                round(large["train_ms"], 1),
         },
     }))
 

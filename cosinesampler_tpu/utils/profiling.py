@@ -7,6 +7,13 @@ is CUDA_LAUNCH_BLOCKING for debuggability.  Here:
 * ``roofline``      — bytes-moved model for a sampler pass, so benchmarks
                       can report achieved HBM bandwidth percentage
                       (BASELINE.md target: HBM-bound on the big 3D sweep).
+* ``mxu_roofline``  — MAC-count model: the one-hot-contraction kernels are
+                      MXU-bound, not HBM-bound, so the meaningful
+                      utilization number is achieved MACs vs the bf16 MXU
+                      peak (the kernels contract in bf16 via the exact
+                      3-pass split, mxu.py).
+* ``fused_gather_macs`` — analytic MXU MAC counts per fused kernel
+                      generation, for feeding mxu_roofline.
 * ``trace``         — context manager around jax.profiler for Perfetto dumps.
 """
 
@@ -22,6 +29,8 @@ import jax
 # Peak numbers for TPU v5e (public spec): 819 GB/s HBM BW, 197 bf16 TFLOPs.
 V5E_HBM_GBPS = 819.0
 V5E_BF16_TFLOPS = 197.0
+# 1 MAC = 2 FLOPs.
+V5E_BF16_TMACS = V5E_BF16_TFLOPS / 2.0
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 3) -> float:
@@ -62,6 +71,60 @@ def roofline(seconds: float, bytes_moved: int,
         "achieved_gbps": achieved,
         "hbm_pct": 100.0 * achieved / hbm_gbps,
     }
+
+
+def mxu_roofline(seconds: float, macs: int,
+                 peak_tmacs: float = V5E_BF16_TMACS) -> dict:
+    """Achieved MXU MAC throughput and % of the bf16 peak."""
+    achieved = macs / seconds / 1e12
+    return {
+        "seconds": seconds,
+        "tmacs": macs / 1e12,
+        "achieved_tmacs_per_sec": achieved,
+        "mxu_pct": 100.0 * achieved / peak_tmacs,
+    }
+
+
+def fused_gather_macs(generation: str, n_cells: int, channels: int,
+                      spatial: Tuple[int, ...], n_queries: int,
+                      bf16_passes: int = 3) -> int:
+    """MXU MACs issued by one fused blend pass of the given generation.
+
+    Counts the one-hot contraction MACs as the MXU executes them
+    (bf16_passes exact-split passes per panel, mxu.py); the per-query VPU
+    weight blending is excluded.  Generations:
+
+    * "v2_2d": 9 panels of (C*N, H*W) x (H*W, Q)         (fused2d.py)
+    * "v2_3d": 27 panels of (C*N, D*H*W) x (D*H*W, Q)    (fused3d.py)
+    * "v3":    27 panels of (C*N, H*W) x (H*W, Q)        (fused3s.py)
+    * "v5":    9 panels of (3*C*N, K) x (K, Q), K = lane-aligned
+               (rows x Wp) window                        (fused3w.py)
+    * "v4":    3 panels of (3*C*N*(gy+2), Wp) x (Wp, Q)  (fused3b.py)
+    """
+    m = n_cells * channels
+    if generation == "v2_2d":
+        k = spatial[0] * spatial[1]
+        panels = 9
+    elif generation == "v2_3d":
+        k = math.prod(spatial)
+        panels = 27
+    elif generation == "v3":
+        k = spatial[1] * spatial[2]
+        panels = 27
+    elif generation == "v5":
+        from cosinesampler_tpu.ops.pallas.fused3w import _win_rows, _xpad
+        wp = _xpad(spatial[2])
+        k = _win_rows(wp) * wp
+        m = 3 * m
+        panels = 9
+    elif generation == "v4":
+        from cosinesampler_tpu.ops.pallas.fused3b import V3B_GY, _wpad
+        k = _wpad(spatial[2])
+        m = 3 * m * (V3B_GY + 2)
+        panels = 3
+    else:
+        raise ValueError(f"unknown generation {generation!r}")
+    return panels * m * k * n_queries * bf16_passes
 
 
 @contextlib.contextmanager
