@@ -108,7 +108,12 @@ def _bench(step, params, opt_state, pts, name):
 
 def _timed(run, *args):
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*args))
+    out = run(*args)
+    jax.block_until_ready(out)
+    # Force a device->host VALUE fetch: through the axon tunnel,
+    # block_until_ready alone can resolve against a replayed future and
+    # report microsecond-scale times for multi-ms programs.
+    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     return time.perf_counter() - t0
 
 

@@ -60,7 +60,10 @@ from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
 from .prep import FUSED_PADDING_MODES, axis_transform, cell_weights
 
-V3W_Q_BLOCK = 256
+# 512 measured fastest on v5e (18.2/13.7/12.2 ms at 128/256/512 on the
+# reference 3D workload, scripts/tune_blocks.py): unlike the VMEM-resident
+# generations there is no cell stack competing for double-buffer space.
+V3W_Q_BLOCK = 512
 V3W_MIN_Q = 2048
 # HBM budget for the per-bin window array (it duplicates the volume by
 # ~3 * rows/gy); above this the v4 bricked kernels take over.
@@ -179,8 +182,15 @@ def _scatter_windows(wins, nbz, nby, gy, rows, cn, hp, wp):
     return out[:, :, :hp]
 
 
+# (kx, ky) pairs the 7 output rows project onto; _ROWS_3D[r] -> (pair, kz)
+_XY_PAIRS = ((0, 0), (1, 0), (0, 1), (2, 0), (0, 2))
+_ROW_FACTORS = tuple(
+    (_XY_PAIRS.index((kx, ky)), kz) for (kx, ky, kz) in _ROWS_3D)
+
+
 def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          hasv_ref, off_ref, win_ref, out_ref, scratch, sem,
+                          hasv_ref, bbn_ref, first_ref, last_ref, par_ref,
+                          off_ref, win_ref, out_ref, scratch, sem,
                           *, cfg, spatial, gy, q_block, channels, n_cells,
                           wp, nby):
     d, h, w = spatial
@@ -191,21 +201,42 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
     bbin = z0 * nby + y0 // gy
+    p = par_ref[0, 0, 0]
+
+    # Double-buffered window prefetch across grid steps (see fused3b):
+    # wait the DMA the previous block started, start the next block's.
+    def win_dma(slot, b):
+        return pltpu.make_async_copy(win_ref.at[pl.ds(b, 1)],
+                                     scratch.at[pl.ds(slot, 1)], sem.at[slot])
+
+    @pl.when(first_ref[0, 0, 0] > 0)
+    def _():
+        win_dma(p, bbin).start()
+
+    win_dma(p, bbin).wait()
+
+    @pl.when(last_ref[0, 0, 0] == 0)
+    def _():
+        win_dma(1 - p, bbn_ref[0, 0, 0]).start()
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
-        cp = pltpu.make_async_copy(win_ref.at[pl.ds(bbin, 1)], scratch, sem)
-        cp.start()
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
         px, wx = _x_prep(x_ref[0], w, cfg, off_col)
         ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
-        cp.wait()
-        terms = mxu.split_bf16(scratch[0], mxu.EXACT_PASSES)  # (3*C*N, K)
+        terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
+                               mxu.EXACT_PASSES)              # (3*C*N, K)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
-        rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
+        # The VPU weight blend is the 3D bottleneck (the MXU gather runs at
+        # ~10% occupancy while the 2D kernel hits ~74%), so the per-panel
+        # work is factored: z-reduce the 3 slabs once per z-order (9 FMAs),
+        # apply the 5 shared (kx, ky) pair products (7 FMAs), and defer the
+        # ensemble reduction to ONE sum per row after the panel loops —
+        # 16 (C,N,Qb)-wide ops per panel instead of 28.
+        rows_acc = [jnp.zeros((c, n, q_block), jnp.float32) for _ in _ROWS_3D]
         for j in range(3):
             rb = ry[j] * wp
             for i in range(3):
@@ -214,13 +245,16 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                 v = mxu.onehot_dot_terms(
                     terms, hit, (((1,), (0,)), ((), ())))     # (3*C*N, Qb)
                 v = v.reshape(3, c, n, q_block)
-                for r, (kx, ky, kz) in enumerate(_ROWS_3D):
-                    wyx = wy[ky][j] * wx[kx][i]               # (N, Qb)
-                    acc = (wz[kz][0] * wyx)[None] * v[0]
-                    acc = acc + (wz[kz][1] * wyx)[None] * v[1]
-                    acc = acc + (wz[kz][2] * wyx)[None] * v[2]
-                    rows_acc[r] = rows_acc[r] + jnp.sum(acc, axis=1)
-        out_ref[:] = jnp.concatenate(rows_acc, axis=0) * mask
+                zv = [v[0] * wz[kz][0][None]
+                      + v[1] * wz[kz][1][None]
+                      + v[2] * wz[kz][2][None] for kz in range(3)]
+                pair = [(wy[ky][j] * wx[kx][i])[None]
+                        for (kx, ky) in _XY_PAIRS]            # (1, N, Qb)
+                for r, (pi, kz) in enumerate(_ROW_FACTORS):
+                    rows_acc[r] = rows_acc[r] + pair[pi] * zv[kz]
+        out = jnp.concatenate(
+            [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
+        out_ref[:] = out * mask
 
     @pl.when(hasv_ref[0, 0, 0] == 0)
     def _():
@@ -247,6 +281,12 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     vol = _pad_volume(cells, d, h, w, hp, wp)
     wins = _windows(vol, nbins, nby, gy, rows)
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    bb = z0 * nby + y0 // gy
+    bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
+    first = (bi == 0).astype(jnp.int32)
+    last = (bi == nblocks - 1).astype(jnp.int32)
+    parity = (bi % 2).astype(jnp.int32)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -263,6 +303,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec,
+            meta_spec, meta_spec, meta_spec, meta_spec,
             pl.BlockSpec((n, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -271,8 +312,8 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * c * n, rows * wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3 * c * n, rows * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -280,15 +321,18 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
         interpret=interpret,
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1), offsets, wins)
+      hasv.reshape(nblocks, 1, 1),
+      bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
+      last.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
+      offsets, wins)
     return out[:, positions].reshape(7, c, q).astype(
         jnp.promote_types(cells.dtype, points.dtype))
 
 
 def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                        hasv_ref, off_ref, g_ref, wins0_ref, out_ref,
-                        scratch, sem_in, sem_out, *, cfg, spatial, gy,
-                        q_block, channels, n_cells, wp, nby):
+                        hasv_ref, sp_ref, sn_ref, off_ref, g_ref, wins0_ref,
+                        out_ref, scratch, sem_in, sem_out, *, cfg, spatial,
+                        gy, q_block, channels, n_cells, wp, nby):
     del wins0_ref  # aliased to out_ref; zero-initialized by XLA
     d, h, w = spatial
     c = channels
@@ -301,9 +345,16 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
+        # Same-bin RMW elision (see fused3b): a bin's first block reads its
+        # window, continuation blocks accumulate in scratch, and only the
+        # bin's last computing block writes back — at the flagship workload
+        # (~7 blocks/bin) this cuts the serialized window DMA ~7x.
         cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
                                    sem_in)
-        cp.start()
+
+        @pl.when(sp_ref[0, 0, 0] == 0)
+        def _():
+            cp.start()
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
         px, wx = _x_prep(x_ref[0], w, cfg, off_col)
@@ -331,12 +382,17 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                 pk = jnp.stack(ps, axis=0).reshape(3 * c * n, q_block)
                 contrib = contrib + mxu.onehot_dot(
                     pk, hit, (((1,), (1,)), ((), ())))        # (3*C*N, K)
-        cp.wait()
+        @pl.when(sp_ref[0, 0, 0] == 0)
+        def _():
+            cp.wait()
         scratch[...] = scratch[...] + contrib[None]
-        cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
-                                    sem_out)
-        cp2.start()
-        cp2.wait()
+
+        @pl.when(sn_ref[0, 0, 0] == 0)
+        def _():
+            cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
+                                        sem_out)
+            cp2.start()
+            cp2.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
@@ -362,6 +418,11 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
     wins0 = jnp.zeros((nbins, 3 * c * n, rows * wp), jnp.float32)
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
+    same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
+    sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
+    sp = jnp.roll(sn, 1).at[0].set(0)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -377,7 +438,7 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec,
+            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
             pl.BlockSpec((n, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
@@ -391,14 +452,16 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
             pltpu.VMEM((1, 3 * c * n, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={9: 0},
+        input_output_aliases={11: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1), offsets, gq, wins0)
+      hasv.reshape(nblocks, 1, 1),
+      sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
+      offsets, gq, wins0)
     acc = _scatter_windows(wins, nbz, nby, gy, rows, c * n, hp, wp)
     acc = acc.reshape(d + 4, c, n, hp, wp)[2:2 + d, :, :, 2:2 + h, :w]
     return acc.transpose(2, 1, 0, 3, 4).astype(

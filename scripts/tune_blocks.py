@@ -39,11 +39,13 @@ def timed_scan(fn, pts, reps):
         carry, ticks = jax.lax.scan(body, p, None, length=reps)
         return ticks.sum() + carry.sum()
 
-    jax.block_until_ready(many(pts))
+    float(many(pts))  # compile + force a real value fetch
     best = None
     for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(pts * (0.999 - 1e-4 * i)))
+        # float() forces the device->host value: through the axon tunnel,
+        # block_until_ready alone can resolve replayed futures instantly.
+        float(many(pts * (0.999 - 1e-4 * i)))
         dt = (time.perf_counter() - t0) / reps
         best = dt if best is None else min(best, dt)
     return best
