@@ -344,7 +344,7 @@ def main():
 
     try:
         kernel_sec, hbm_pct, mxu_pct = _kernel_roofline(params, pts, cfg,
-                                                        "v2_2d")
+                                                        "v5_2d")
     except Exception as e:  # pragma: no cover
         log(f"kernel roofline failed ({type(e).__name__})")
         kernel_sec, hbm_pct, mxu_pct = (float("nan"),) * 3

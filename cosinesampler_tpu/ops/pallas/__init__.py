@@ -13,7 +13,7 @@ import math
 
 from .. import generic
 from ..sampler import register_backend
-from . import fused2d, fused3b, fused3d, fused3s, fused3w
+from . import fused2d, fused2w, fused3b, fused3d, fused3s, fused3w
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 
@@ -69,6 +69,9 @@ def _strict_mixed_align(cfg) -> bool:
 def _fused_blend(cells, points, cfg):
     if _f64(cells, points) or _strict_mixed_align(cfg):
         return None
+    if fused2w.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
+        return fused2w.pallas_fused2w_blend(cells, points, cfg,
+                                            interpret=INTERPRET)
     if fused2d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_blend(cells, points, cfg,
                                            interpret=INTERPRET)
@@ -93,6 +96,9 @@ def _fused_bwd(g, points, in_spatial, cfg, n_cells):
     if _f64(g, points) or _strict_mixed_align(cfg):
         return None
     shape = (n_cells, g.shape[1], *in_spatial)
+    if fused2w.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
+        return fused2w.pallas_fused2w_bwd(g, points, tuple(in_spatial), cfg,
+                                          n_cells, interpret=INTERPRET)
     if fused2d.supports(cfg, shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_bwd(g, points, tuple(in_spatial), cfg,
                                          n_cells, interpret=INTERPRET)

@@ -1,0 +1,393 @@
+"""v5 windowed 2D fused kernels: the (y, x) gather window folded into K.
+
+The v2 2D kernels (fused2d.py) are genuinely MXU-bound — measured ~74%
+of the v5e bf16 MXU peak (bench.py extras) — so unlike the VPU-bound 3D
+case, halving the contraction work translates ~directly into wall clock.
+This generation applies the fused3w windowing to 2D:
+
+1. Queries are binned by ``floor(base_y) // gy`` (a handful of bins for
+   16^2 grids; dense counting sort like fused3s._zbin).
+2. The zero-padded grid is re-laid out as per-bin windows
+   ``(nbins, C*N, (gy+2)*Wp)`` with the (rows, x) window flattened onto
+   the LANE dim host-side.
+3. Each of the 9 corner pairs gathers in ONE one-hot matmul at
+   K = (gy+2)*Wp (128 for 16^2) instead of K = H*W = 256: 2x fewer MXU
+   MACs than fused2d.
+4. Window DMA is double-buffered across grid steps; the gradient
+   accumulates disjoint per-bin window cotangents with same-bin RMW
+   elision, then an XLA overlap-add folds them back (fused3w pattern,
+   minus the z axis).
+
+Scope: dim=2, padding_mode in (zeros, border), shared query points.
+Reflection needs the 4-shift widened patch -> stays on fused2d.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SamplerConfig
+from ..coords import multicell_offsets
+from . import mxu
+from .fused2d import _ROWS_2D
+from .fused3w import _win_rows, _xpad, _x_prep, _y_prep
+from .prep import FUSED_PADDING_MODES, bin_base
+
+V2W_Q_BLOCK = 512
+V2W_MIN_Q = 2048
+_WIN_HBM_BUDGET = 1 << 30
+_MIN_Q_PER_BIN = 8
+
+
+def _geom2(h: int, gy: int):
+    nby = -(-(h + 2) // gy)
+    return nby, nby * gy + 2          # (nbins, padded H)
+
+
+def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
+             n_queries: int | None = None) -> bool:
+    if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES:
+        return False
+    n, c, h, w = cells_shape
+    wp = _xpad(w)
+    rows = _win_rows(wp)
+    gy = rows - 2
+    k = rows * wp
+    cn = n * c
+    if 2 * cn * k * 4 > vmem_budget:                # double-buffer scratch
+        return False
+    if mxu.EXACT_PASSES * cn * k * 2 > vmem_budget:
+        return False
+    nby, hp = _geom2(h, gy)
+    if nby * cn * k * 4 > _WIN_HBM_BUDGET:
+        return False
+    if n_queries is not None and n_queries < max(
+            V2W_MIN_Q, _MIN_Q_PER_BIN * nby):
+        return False
+    return True
+
+
+def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
+    """Counting-sort queries by y row group with per-bin block padding.
+
+    Same structure as fused3s._zbin (dense one-hot counting sort — the
+    bin count is tiny); returns (positions, inv, y0_block, hasv, qp).
+    """
+    q = points.shape[0]
+    nby, _ = _geom2(h, gy)
+    base = bin_base(points[:, 1].astype(jnp.float32), h, cfg)
+    fy = jnp.floor(jax.lax.stop_gradient(base)).astype(jnp.int32)
+    keys = jnp.clip((fy + 2) // gy, 0, nby - 1)
+    onehot = (keys[:, None] == jnp.arange(nby, dtype=jnp.int32)[None, :])
+    counts = onehot.sum(axis=0, dtype=jnp.int32)
+    padded = ((counts + q_block - 1) // q_block) * q_block
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    rank = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - 1
+    rank_at = jnp.take_along_axis(rank, keys[:, None], axis=1)[:, 0]
+    positions = offs[keys] + rank_at
+
+    qp = (pl.cdiv(q, q_block) + nby) * q_block
+    inv = jnp.full((qp,), -1, jnp.int32).at[positions].set(
+        jnp.arange(q, dtype=jnp.int32), unique_indices=True)
+    nblocks = qp // q_block
+    start_blocks = offs // q_block
+    bidx = jnp.arange(nblocks, dtype=jnp.int32)
+    block_bin = (bidx[:, None] >= start_blocks[None, :]).sum(
+        axis=1, dtype=jnp.int32) - 1
+    y0_block = block_bin * gy
+    hasv = (inv[bidx * q_block] >= 0).astype(jnp.int32)
+    return positions, inv, y0_block, hasv, qp
+
+
+def _pad_grid(cells, h, w, hp, wp):
+    """(N,C,H,W) -> zero-padded (C*N, Hp, Wp) layout."""
+    n, c = cells.shape[:2]
+    cells_f = cells.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
+        c * n, h, w)
+    return jnp.pad(cells_f, ((0, 0), (2, hp - h - 2), (0, wp - w)))
+
+
+def _windows2(vol, nby, gy, rows):
+    cn, hp, wp = vol.shape
+    zero = jnp.int32(0)
+    by = jnp.arange(nby, dtype=jnp.int32) * gy
+
+    def one(y0b):
+        return jax.lax.dynamic_slice(vol, (zero, y0b, zero), (cn, rows, wp))
+
+    wins = jax.vmap(one)(by)
+    return wins.reshape(nby, cn, rows * wp)
+
+
+def _scatter_windows2(wins, nby, gy, rows, cn, hp, wp):
+    """Overlap-add per-bin window cotangents back onto (C*N, Hp, Wp)."""
+    wins = wins.reshape(nby, cn, rows, wp)
+    own = wins[:, :, :gy]
+    ovf = wins[:, :, gy:]
+    ext = nby * gy + gy
+    out = jnp.zeros((cn, ext, wp), wins.dtype)
+    out = out.at[:, :nby * gy].add(
+        own.transpose(1, 0, 2, 3).reshape(cn, nby * gy, wp))
+    ovf_p = jnp.pad(ovf, ((0, 0), (0, 0), (0, gy - 2), (0, 0)))
+    out = out.at[:, gy:gy + nby * gy].add(
+        ovf_p.transpose(1, 0, 2, 3).reshape(cn, nby * gy, wp))
+    return out[:, :hp]
+
+
+def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
+                          bbn_ref, first_ref, hn_ref, par_ref, off_ref,
+                          win_ref, out_ref, scratch, sem, *, cfg, spatial,
+                          gy, q_block, channels, n_cells, wp):
+    h, w = spatial
+    c = channels
+    n = n_cells
+    rows = gy + 2
+    k_win = rows * wp
+    y0 = y0_ref[0, 0, 0]
+    bbin = y0 // gy
+    p = par_ref[0, 0, 0]
+
+    # Prefetch chain gated to the real-block prefix (_ybin packs real
+    # blocks first); padding blocks skip the window DMA entirely.
+    def win_dma(slot, b):
+        return pltpu.make_async_copy(win_ref.at[pl.ds(b, 1)],
+                                     scratch.at[pl.ds(slot, 1)], sem.at[slot])
+
+    @pl.when(hasv_ref[0, 0, 0] > 0)
+    def _():
+        @pl.when(first_ref[0, 0, 0] > 0)
+        def _():
+            win_dma(p, bbin).start()
+
+        win_dma(p, bbin).wait()
+
+        @pl.when(hn_ref[0, 0, 0] > 0)
+        def _():
+            win_dma(1 - p, bbn_ref[0, 0, 0]).start()
+
+        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        off_col = off_ref[:, 0:1]
+        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
+        mask = valid * ymask
+        terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
+                               mxu.EXACT_PASSES)              # (C*N, K)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
+        rows_acc = [jnp.zeros((c, n, q_block), jnp.float32) for _ in _ROWS_2D]
+        for j in range(3):
+            rb = ry[j] * wp
+            for i in range(3):
+                pos = jnp.where(px[i] >= 0, rb + px[i], -1)
+                hit = (iota == pos).astype(jnp.float32)       # (K, Qb)
+                v = mxu.onehot_dot_terms(
+                    terms, hit, (((1,), (0,)), ((), ())))     # (C*N, Qb)
+                v = v.reshape(c, n, q_block)
+                for r, (kx, ky) in enumerate(_ROWS_2D):
+                    rows_acc[r] = rows_acc[r] + (
+                        wy[ky][j] * wx[kx][i])[None] * v
+        out = jnp.concatenate(
+            [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
+        out_ref[:] = out * mask
+
+    @pl.when(hasv_ref[0, 0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
+                         q_block: int = V2W_Q_BLOCK, interpret: bool = False):
+    """(5, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed 2D)."""
+    n, c, h, w = cells.shape
+    q = points.shape[0]
+    wp = _xpad(w)
+    rows = _win_rows(wp)
+    gy = rows - 2
+    nby, hp = _geom2(h, gy)
+    positions, inv, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    nblocks = qp // q_block
+
+    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
+    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    wins = _windows2(_pad_grid(cells, h, w, hp, wp), nby, gy, rows)
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    bb = y0 // gy
+    bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
+    first = (bi == 0).astype(jnp.int32)
+    hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
+    parity = (bi % 2).astype(jnp.int32)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused2w_blend_kernel, cfg=cfg, spatial=(h, w), gy=gy,
+        q_block=q_block, channels=c, n_cells=n, wp=wp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((5 * c, q_block), lambda qi: (0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5 * c, qp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, c * n, rows * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, validf,
+      y0.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
+      bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
+      hn.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
+      offsets, wins)
+    return out[:, positions].reshape(5, c, q).astype(
+        jnp.promote_types(cells.dtype, points.dtype))
+
+
+def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
+                        sn_ref, off_ref, g_ref, wins0_ref, out_ref, scratch,
+                        sem_in, sem_out, *, cfg, spatial, gy, q_block,
+                        channels, n_cells, wp):
+    del wins0_ref  # aliased to out_ref; zero-initialized by XLA
+    h, w = spatial
+    c = channels
+    n = n_cells
+    rows = gy + 2
+    k_win = rows * wp
+    y0 = y0_ref[0, 0, 0]
+    bbin = y0 // gy
+
+    @pl.when(hasv_ref[0, 0, 0] > 0)
+    def _():
+        cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
+                                   sem_in)
+
+        @pl.when(sp_ref[0, 0, 0] == 0)
+        def _():
+            cp.start()
+        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        off_col = off_ref[:, 0:1]
+        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
+        mask = valid * ymask
+
+        g = g_ref[:].reshape(5, c, q_block)
+        gv = [g[r] * mask for r in range(5)]
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
+        contrib = jnp.zeros((c * n, k_win), jnp.float32)
+        for j in range(3):
+            rb = ry[j] * wp
+            for i in range(3):
+                pos = jnp.where(px[i] >= 0, rb + px[i], -1)
+                hit = (iota == pos).astype(jnp.float32)
+                pmat = jnp.zeros((c, n, q_block), jnp.float32)
+                for r, (kx, ky) in enumerate(_ROWS_2D):
+                    pmat = pmat + (wy[ky][j] * wx[kx][i])[None] * \
+                        gv[r][:, None, :]
+                contrib = contrib + mxu.onehot_dot(
+                    pmat.reshape(c * n, q_block), hit,
+                    (((1,), (1,)), ((), ())))                # (C*N, K)
+
+        @pl.when(sp_ref[0, 0, 0] == 0)
+        def _():
+            cp.wait()
+        scratch[...] = scratch[...] + contrib[None]
+
+        @pl.when(sn_ref[0, 0, 0] == 0)
+        def _():
+            cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
+                                        sem_out)
+            cp2.start()
+            cp2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
+                       cfg: SamplerConfig, n_cells: int,
+                       q_block: int = V2W_Q_BLOCK, interpret: bool = False):
+    """Cells-cotangent of pallas_fused2w_blend: (N, C, H, W)."""
+    h, w = in_spatial
+    k_rows, c, q = g.shape
+    n = n_cells
+    wp = _xpad(w)
+    rows = _win_rows(wp)
+    gy = rows - 2
+    nby, hp = _geom2(h, gy)
+    positions, inv, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    nblocks = qp // q_block
+
+    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
+    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
+    wins0 = jnp.zeros((nby, c * n, rows * wp), jnp.float32)
+    bi = jnp.arange(nblocks, dtype=jnp.int32)
+    hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
+    same = (y0 == jnp.roll(y0, -1))
+    sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
+    sp = jnp.roll(sn, 1).at[0].set(0)
+
+    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _fused2w_bwd_kernel, cfg=cfg, spatial=(h, w), gy=gy,
+        q_block=q_block, channels=c, n_cells=n, wp=wp)
+    wins = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            meta_spec, meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nby, c * n, rows * wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, c * n, rows * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*axes, validf,
+      y0.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
+      sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
+      offsets, gq, wins0)
+    acc = _scatter_windows2(wins, nby, gy, rows, c * n, hp, wp)
+    acc = acc.reshape(c, n, hp, wp)[:, :, 2:2 + h, :w]
+    return acc.transpose(1, 0, 2, 3).astype(
+        jnp.promote_types(g.dtype, points.dtype))

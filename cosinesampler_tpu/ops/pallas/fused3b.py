@@ -215,7 +215,7 @@ def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
 
 
 def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          hasv_ref, z0n_ref, y0n_ref, first_ref, last_ref,
+                          hasv_ref, z0n_ref, y0n_ref, first_ref, hn_ref,
                           par_ref, off_ref, vol_ref, out_ref, scratch, sem,
                           *, cfg, spatial, gy, q_block, channels,
                           n_cells, wpad):
@@ -230,24 +230,28 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     # Double-buffered brick prefetch across grid steps: block i waits for
     # the DMA that block i-1 started into slot i%2 and starts block i+1's
     # brick into the other slot.  Scratch/semaphores persist across the
-    # sequential TPU grid; padding (hasv=0) blocks keep the chain alive.
+    # sequential TPU grid.  The chain runs only over the real-block PREFIX
+    # (_brick_bin packs every real block before every padding block): the
+    # last real block has hn=0 and starts nothing, and padding blocks skip
+    # the wait entirely — at the 128^3 sweep they are ~half the grid, and
+    # each skipped wait is a serialized 393 KB brick copy.
     def brick_dma(slot, zz, yy):
         return pltpu.make_async_copy(
             vol_ref.at[pl.ds(zz, 3), :, pl.ds(yy, wy_rows), :],
             scratch.at[pl.ds(3 * slot, 3)], sem.at[slot])
 
-    @pl.when(first_ref[0, 0, 0] > 0)
-    def _():
-        brick_dma(p, z0, y0).start()
-
-    brick_dma(p, z0, y0).wait()
-
-    @pl.when(last_ref[0, 0, 0] == 0)
-    def _():
-        brick_dma(1 - p, z0n_ref[0, 0, 0], y0n_ref[0, 0, 0]).start()
-
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
+        @pl.when(first_ref[0, 0, 0] > 0)
+        def _():
+            brick_dma(p, z0, y0).start()
+
+        brick_dma(p, z0, y0).wait()
+
+        @pl.when(hn_ref[0, 0, 0] > 0)
+        def _():
+            brick_dma(1 - p, z0n_ref[0, 0, 0], y0n_ref[0, 0, 0]).start()
+
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
         hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
@@ -307,7 +311,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     z0n = jnp.roll(z0, -1).at[-1].set(z0[-1])
     y0n = jnp.roll(y0, -1).at[-1].set(y0[-1])
     first = (bi == 0).astype(jnp.int32)
-    last = (bi == nblocks - 1).astype(jnp.int32)
+    hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
     parity = (bi % 2).astype(jnp.int32)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
@@ -345,7 +349,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
       hasv.reshape(nblocks, 1, 1),
       z0n.reshape(nblocks, 1, 1), y0n.reshape(nblocks, 1, 1),
-      first.reshape(nblocks, 1, 1), last.reshape(nblocks, 1, 1),
+      first.reshape(nblocks, 1, 1), hn.reshape(nblocks, 1, 1),
       parity.reshape(nblocks, 1, 1), offsets, vol)
     return out[:, positions].reshape(7, c, q).astype(
         jnp.promote_types(cells.dtype, points.dtype))

@@ -189,7 +189,7 @@ _ROW_FACTORS = tuple(
 
 
 def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          hasv_ref, bbn_ref, first_ref, last_ref, par_ref,
+                          hasv_ref, bbn_ref, first_ref, hn_ref, par_ref,
                           off_ref, win_ref, out_ref, scratch, sem,
                           *, cfg, spatial, gy, q_block, channels, n_cells,
                           wp, nby):
@@ -205,22 +205,25 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
     # Double-buffered window prefetch across grid steps (see fused3b):
     # wait the DMA the previous block started, start the next block's.
+    # Gated to the real-block prefix (_brick_bin packs real blocks first):
+    # padding blocks skip the serialized window copies entirely — at the
+    # flagship 3D workload they are ~1/5 of the grid.
     def win_dma(slot, b):
         return pltpu.make_async_copy(win_ref.at[pl.ds(b, 1)],
                                      scratch.at[pl.ds(slot, 1)], sem.at[slot])
 
-    @pl.when(first_ref[0, 0, 0] > 0)
-    def _():
-        win_dma(p, bbin).start()
-
-    win_dma(p, bbin).wait()
-
-    @pl.when(last_ref[0, 0, 0] == 0)
-    def _():
-        win_dma(1 - p, bbn_ref[0, 0, 0]).start()
-
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
+        @pl.when(first_ref[0, 0, 0] > 0)
+        def _():
+            win_dma(p, bbin).start()
+
+        win_dma(p, bbin).wait()
+
+        @pl.when(hn_ref[0, 0, 0] > 0)
+        def _():
+            win_dma(1 - p, bbn_ref[0, 0, 0]).start()
+
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
         px, wx = _x_prep(x_ref[0], w, cfg, off_col)
@@ -285,7 +288,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
     bb = z0 * nby + y0 // gy
     bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
     first = (bi == 0).astype(jnp.int32)
-    last = (bi == nblocks - 1).astype(jnp.int32)
+    hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
     parity = (bi % 2).astype(jnp.int32)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
@@ -323,7 +326,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
       hasv.reshape(nblocks, 1, 1),
       bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
-      last.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
+      hn.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
       offsets, wins)
     return out[:, positions].reshape(7, c, q).astype(
         jnp.promote_types(cells.dtype, points.dtype))

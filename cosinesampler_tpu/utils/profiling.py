@@ -99,6 +99,8 @@ def fused_gather_macs(generation: str, n_cells: int, channels: int,
     * "v3":    27 panels of (C*N, H*W) x (H*W, Q)        (fused3s.py)
     * "v5":    9 panels of (3*C*N, K) x (K, Q), K = lane-aligned
                (rows x Wp) window                        (fused3w.py)
+    * "v5_2d": 9 panels of (C*N, K) x (K, Q), K = lane-aligned
+               (rows x Wp) window                        (fused2w.py)
     * "v4":    3 panels of (3*C*N*(gy+2), Wp) x (Wp, Q)  (fused3b.py)
     """
     m = n_cells * channels
@@ -116,6 +118,11 @@ def fused_gather_macs(generation: str, n_cells: int, channels: int,
         wp = _xpad(spatial[2])
         k = _win_rows(wp) * wp
         m = 3 * m
+        panels = 9
+    elif generation == "v5_2d":
+        from cosinesampler_tpu.ops.pallas.fused3w import _win_rows, _xpad
+        wp = _xpad(spatial[1])
+        k = _win_rows(wp) * wp
         panels = 9
     elif generation == "v4":
         from cosinesampler_tpu.ops.pallas.fused3b import V3B_GY, _wpad

@@ -52,11 +52,18 @@ def timed_scan(fn, pts, reps):
 
 
 def sweep_2d(reps):
-    from cosinesampler_tpu.ops.pallas import fused2d
+    from cosinesampler_tpu.ops.pallas import fused2d, fused2w
     rng = np.random.RandomState(0)
     cells = jnp.asarray(rng.rand(96, 4, 16, 16), jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (100_000, 2)), jnp.float32)
     cfg = SamplerConfig(dim=2)
+    print("v5 windowed 2D (96x4x16x16, 100k pts): q_block -> ms/pass")
+    for qb in (128, 256, 512, 1024):
+        sec = timed_scan(
+            lambda p: fused2w.pallas_fused2w_blend(cells, p, cfg,
+                                                   q_block=qb)[0, 0, 0],
+            pts, reps)
+        print(f"  q_block={qb:4d}: {sec * 1e3:7.2f} ms")
     print("v2 2D (96x4x16x16, 100k pts): q_block -> ms/pass")
     for qb in (128, 256, 512):
         sec = timed_scan(

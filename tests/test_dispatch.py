@@ -13,8 +13,8 @@ import pytest
 
 import cosinesampler_tpu.ops.pallas as pb
 from cosinesampler_tpu.ops.config import SamplerConfig
-from cosinesampler_tpu.ops.pallas import (fused2d, fused3b, fused3d, fused3s,
-                                          fused3w)
+from cosinesampler_tpu.ops.pallas import (fused2d, fused2w, fused3b, fused3d,
+                                          fused3s, fused3w)
 
 
 def _route_blend(monkeypatch, cells_shape, q, cfg):
@@ -31,6 +31,7 @@ def _route_blend(monkeypatch, cells_shape, q, cfg):
         return orig
 
     spy(fused2d, "pallas_fused2_blend", "2d")
+    spy(fused2w, "pallas_fused2w_blend", "2w")
     spy(fused3w, "pallas_fused3w_blend", "3w")
     spy(fused3s, "pallas_fused3s_blend", "3s")
     spy(fused3b, "pallas_fused3b_blend", "3b")
@@ -97,8 +98,20 @@ def test_reflection_padding_routes_to_v2(monkeypatch):
                         cfg) == "3d"
 
 
-def test_2d_routes_to_v2_2d(monkeypatch):
+def test_2d_large_q_routes_to_v5_2d(monkeypatch):
+    # reference 2D workload: windowed kernels (v5, K = 128 not 256)
     cfg = SamplerConfig(dim=2, backend="pallas")
+    assert _route_blend(monkeypatch, (96, 4, 16, 16), 100_000, cfg) == "2w"
+
+
+def test_2d_small_q_routes_to_v2_2d(monkeypatch):
+    # tiny clouds skip the y-binning (bin padding dominates)
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    assert _route_blend(monkeypatch, (96, 4, 16, 16), 200, cfg) == "2d"
+
+
+def test_2d_reflection_routes_to_v2_2d(monkeypatch):
+    cfg = SamplerConfig(dim=2, padding_mode="reflection", backend="pallas")
     assert _route_blend(monkeypatch, (96, 4, 16, 16), 100_000, cfg) == "2d"
 
 
@@ -117,6 +130,7 @@ def test_bwd_dispatch_mirrors_blend(monkeypatch, shape, q, want):
         monkeypatch.setattr(module, name, wrapper)
 
     spy(fused2d, "pallas_fused2_bwd", "2d")
+    spy(fused2w, "pallas_fused2w_bwd", "2w")
     spy(fused3w, "pallas_fused3w_bwd", "3w")
     spy(fused3s, "pallas_fused3s_bwd", "3s")
     spy(fused3b, "pallas_fused3b_bwd", "3b")

@@ -1,0 +1,105 @@
+"""v5 windowed 2D fused kernels vs the XLA fused reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosinesampler_tpu.ops import fused
+from cosinesampler_tpu.ops.config import SamplerConfig
+from cosinesampler_tpu.ops.pallas.fused2w import (pallas_fused2w_blend,
+                                                  pallas_fused2w_bwd,
+                                                  supports)
+
+N_CELL, C, Q = 5, 3, 150
+
+
+def _data(seed=0, lo=-0.95, hi=0.95, spatial=(6, 6)):
+    rng = np.random.RandomState(seed)
+    cells = jnp.asarray(rng.rand(N_CELL, C, *spatial), jnp.float32)
+    pts = jnp.asarray(rng.uniform(lo, hi, (Q, 2)), jnp.float32)
+    return cells, pts
+
+
+@pytest.mark.parametrize("kernel", ["cosine", "linear", "smoothstep"])
+@pytest.mark.parametrize("multicell", [True, False])
+def test_v2w_blend_matches_xla(kernel, multicell):
+    cfg = SamplerConfig(dim=2, kernel=kernel, multicell=multicell,
+                        backend="pallas")
+    cells, pts = _data()
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused2w_blend(cells, pts, cfg, q_block=64, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_v2w_blend_oob_queries(padding):
+    cfg = SamplerConfig(dim=2, padding_mode=padding, backend="pallas")
+    cells, _ = _data(1)
+    pts = jnp.asarray(np.random.RandomState(2).uniform(-1.7, 1.7, (Q, 2)),
+                      jnp.float32)
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused2w_blend(cells, pts, cfg, q_block=64, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_v2w_blend_boundary_queries():
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    cells, _ = _data(5)
+    s = 6
+    eff = s - 1 - 1
+    ticks = np.linspace(-1.0, 1.0, eff + 1)
+    rng = np.random.RandomState(6)
+    pts = jnp.asarray(np.stack([rng.choice(ticks, Q), rng.choice(ticks, Q)],
+                               axis=1), jnp.float32)
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused2w_blend(cells, pts, cfg, q_block=64, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_v2w_blend_reference_shape():
+    # the flagship 16x16 geometry: gy=6, window 8x16 -> K=128
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    rng = np.random.RandomState(7)
+    cells = jnp.asarray(rng.rand(8, 4, 16, 16), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-1.1, 1.1, (500, 2)), jnp.float32)
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused2w_blend(cells, pts, cfg, q_block=128, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("multicell", [True, False])
+def test_v2w_bwd_matches_xla(padding, multicell):
+    cfg = SamplerConfig(dim=2, padding_mode=padding, multicell=multicell,
+                        backend="pallas")
+    cells, pts = _data(3, lo=-1.4, hi=1.4)
+    rng = np.random.RandomState(4)
+    g = jnp.asarray(rng.rand(5, C, Q), jnp.float32)
+    want = fused.xla_fused_bwd(g, pts, (6, 6), cfg, N_CELL)
+    got = pallas_fused2w_bwd(g, pts, (6, 6), cfg, N_CELL, q_block=64,
+                             interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_v2w_bwd_reference_shape():
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    rng = np.random.RandomState(9)
+    pts = jnp.asarray(rng.uniform(-1.1, 1.1, (500, 2)), jnp.float32)
+    g = jnp.asarray(rng.rand(5, 4, 500), jnp.float32)
+    want = fused.xla_fused_bwd(g, pts, (16, 16), SamplerConfig(dim=2), 8)
+    got = pallas_fused2w_bwd(g, pts, (16, 16), cfg, 8, q_block=128,
+                             interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+
+
+def test_supports_gating():
+    budget = 6 << 20
+    assert supports(SamplerConfig(dim=2), (96, 4, 16, 16), budget,
+                    n_queries=100_000)
+    assert supports(SamplerConfig(dim=2, padding_mode="border"),
+                    (96, 4, 16, 16), budget, n_queries=100_000)
+    assert not supports(SamplerConfig(dim=2, padding_mode="reflection"),
+                        (96, 4, 16, 16), budget, n_queries=100_000)
+    assert not supports(SamplerConfig(dim=2), (96, 4, 16, 16), budget,
+                        n_queries=200)
+    assert not supports(SamplerConfig(dim=3), (50, 4, 16, 16, 16), budget)
