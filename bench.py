@@ -33,7 +33,10 @@ from cosinesampler_tpu.ops.config import SamplerConfig
 
 N_POINTS = 100_000
 N_WARMUP = 2
-N_ITERS = 10
+# 50+ iterations per timed scan: the axon tunnel charges a FIXED ~60 ms
+# per jitted call (dispatch round trip, measured scripts/time_floor.py),
+# so short scans inflate every per-step number by fixed/reps ms.
+N_ITERS = 50
 
 
 def log(msg):
@@ -72,13 +75,15 @@ def _make_naive_loss(cfg):
     return loss
 
 
-def _bench(step, params, opt_state, pts, name):
-    """Time N_ITERS steps inside ONE jitted lax.scan.
+def _bench(step, params, opt_state, pts, name, n_iters=N_ITERS):
+    """Time n_iters steps inside ONE jitted lax.scan.
 
     Looping a jitted call from Python is untrustworthy on this stack: the
     remote-TPU tunnel pipelines dispatches and short-circuits repeats, so
     wall-clock around a Python loop measures dispatch, not device time.  A
-    scan with the carried training state is a single device program.
+    scan with the carried training state is a single device program (the
+    tunnel additionally charges a fixed ~60 ms per call, hence N_ITERS=50
+    for the fast pipelines; slow pipelines can amortize with fewer).
     """
 
     @jax.jit
@@ -88,7 +93,7 @@ def _bench(step, params, opt_state, pts, name):
             p, s, lval = step(p, s, pts)
             return (p, s), lval
         (_, _), losses = jax.lax.scan(body, (params, opt_state), None,
-                                      length=N_ITERS)
+                                      length=n_iters)
         return losses
 
     t0 = time.perf_counter()
@@ -101,7 +106,7 @@ def _bench(step, params, opt_state, pts, name):
     # capability (worst runs reflect tunnel contention, not the kernels).
     dt = min(_timed(run, params, opt_state, pts * (0.999 - 1e-4 * i))
              for i in range(3))
-    ips = N_ITERS / dt
+    ips = n_iters / dt
     log(f"{name}: {ips:.3f} iters/sec ({1e3 / ips:.2f} ms/step)")
     return ips
 
@@ -187,7 +192,7 @@ def _bench_large_sweep():
     cfg = SamplerConfig(dim=3, kernel="cosine", multicell=True)
     cells = jnp.asarray(rng.rand(16, 4, 128, 128, 128), jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (1_000_000, 3)), jnp.float32)
-    reps = 5
+    reps = 10
     out = {}
 
     @jax.jit
@@ -322,7 +327,7 @@ def main():
     # service occasionally wedges, and the headline metric must still print.
     try:
         naive_ips = _bench(naive_step, params, opt_state, pts[:naive_q],
-                           f"naive@{naive_q}")
+                           f"naive@{naive_q}", n_iters=10)
         naive_pps = naive_ips * naive_q
         log(f"fused {ours_pps:.0f} pts/s vs naive {naive_pps:.0f} pts/s")
     except Exception as e:  # pragma: no cover - infra dependent
@@ -357,7 +362,7 @@ def main():
         pts3 = jnp.asarray(rng3.uniform(-0.95, 0.95, (N_POINTS, 3)),
                            jnp.float32)
         k3_sec, _, mxu3_pct = _kernel_roofline(params3, pts3, cfg3, "v5",
-                                               reps=20)
+                                               reps=50)
     except Exception as e:  # pragma: no cover
         log(f"3d kernel roofline failed ({type(e).__name__})")
         k3_sec, mxu3_pct = float("nan"), float("nan")

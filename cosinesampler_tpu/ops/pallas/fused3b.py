@@ -64,6 +64,9 @@ _HBM_BUDGET = 4 << 30  # bytes for the padded HBM-resident volume
 # the 128^3 scale (BENCHMARKS.md), so mid-size clouds must stay on the
 # deterministic brick path.  Availability beats throughput here.
 _MIN_Q_PER_BIN = 2
+# (Q, nbins) one-hot budget for the sort-free binning rank; above this the
+# comparison-sort path takes over (large volumes: nbins ~8k at 128^3).
+_ONEHOT_RANK_BYTES = 64 << 20
 
 
 def _geom(d: int, h: int, gy: int):
@@ -141,30 +144,46 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
     bz = jnp.clip(fz + 2, 0, nbz - 1)
     by = jnp.clip((fy + 2) // gy, 0, nby - 1)
     key = (bz * nby + by).astype(jnp.int32)
-
-    iota = jnp.arange(q, dtype=jnp.int32)
-    skey, perm = jax.lax.sort_key_val(key, iota)
-    iperm = jnp.argsort(perm, stable=True).astype(jnp.int32)
-    edges = jnp.searchsorted(
-        skey, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    counts = edges[1:] - edges[:-1]
-    padded = ((counts + q_block - 1) // q_block) * q_block
-    cum_padded = jnp.cumsum(padded).astype(jnp.int32)   # inclusive
-    offs = cum_padded - padded                          # exclusive starts
-
-    start = edges[:-1]
-    srank = jnp.arange(q, dtype=jnp.int32) - start[skey]
-    spos = offs[skey] + srank
-    positions = spos[iperm]
-
     qp = (pl.cdiv(q, q_block) + nbins) * q_block        # static upper bound
-    slots = jnp.arange(qp, dtype=jnp.int32)
-    b = jnp.minimum(_step_starts(offs, qp), nbins - 1)
-    r = slots - offs[b]
-    occupied = (r >= 0) & (r < counts[b])
-    inv = jnp.where(
-        occupied, perm[jnp.clip(start[b] + r, 0, max(q - 1, 0))], -1)
+    iota = jnp.arange(q, dtype=jnp.int32)
+
+    if q * nbins * 4 <= _ONEHOT_RANK_BYTES:
+        # Small bin count: sort-free ranks via a (Q, nbins) one-hot cumsum
+        # (the comparison sort alone measures ~6 ms at 100k queries on TPU;
+        # this path is sub-ms).  Within-bin order is original query order.
+        onehot = (key[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.int32)
+        counts = onehot.sum(axis=0, dtype=jnp.int32)
+        srank = ((jnp.cumsum(onehot, axis=0) - 1) * onehot).sum(axis=1)
+        padded = ((counts + q_block - 1) // q_block) * q_block
+        cum_padded = jnp.cumsum(padded).astype(jnp.int32)
+        offs = cum_padded - padded
+        positions = offs[key] + srank
+        inv = jnp.full((qp,), -1, jnp.int32).at[positions].set(iota)
+    else:
+        skey, perm = jax.lax.sort_key_val(key, iota)
+        # invert the permutation with one scatter (argsort would be a second
+        # full TPU sort)
+        iperm = jnp.zeros((q,), jnp.int32).at[perm].set(iota)
+        edges = jnp.searchsorted(
+            skey, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        counts = edges[1:] - edges[:-1]
+        padded = ((counts + q_block - 1) // q_block) * q_block
+        cum_padded = jnp.cumsum(padded).astype(jnp.int32)   # inclusive
+        offs = cum_padded - padded                          # exclusive starts
+
+        start = edges[:-1]
+        srank = jnp.arange(q, dtype=jnp.int32) - start[skey]
+        spos = offs[skey] + srank
+        positions = spos[iperm]
+
+        slots = jnp.arange(qp, dtype=jnp.int32)
+        b = jnp.minimum(_step_starts(offs, qp), nbins - 1)
+        r = slots - offs[b]
+        occupied = (r >= 0) & (r < counts[b])
+        inv = jnp.where(
+            occupied, perm[jnp.clip(start[b] + r, 0, max(q - 1, 0))], -1)
 
     nblocks = qp // q_block
     bbin = jnp.minimum(_step_starts(offs, nblocks, granularity=q_block),

@@ -60,16 +60,32 @@ from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
 from .prep import FUSED_PADDING_MODES, axis_transform, cell_weights
 
-# 512 measured fastest on v5e (18.2/13.7/12.2 ms at 128/256/512 on the
-# reference 3D workload, scripts/tune_blocks.py): unlike the VMEM-resident
-# generations there is no cell stack competing for double-buffer space.
-V3W_Q_BLOCK = 512
+# 128 measured fastest on v5e once the blend ran relayout-free (5.7/6.2/
+# 7.3/8.4 ms at 128/256/512/1024 on the reference 3D workload,
+# scripts/tune_v5.py): per-query MXU work is block-size-invariant, so the
+# smallest block minimizes per-bin padding queries (<= nbins * q_block
+# slots).  The earlier 512 tuning predates the sublane-pad fix.
+V3W_Q_BLOCK = 128
+# The ensemble dim is padded to the Mosaic sublane tile (8) HOST-SIDE so the
+# in-kernel reshapes between the (3*C*N, Qb) matmul layout and the
+# (3, C, N, Qb) blend layout are layout-free: with an unaligned N (the
+# reference 3D workload has N=50, which tiles pad to 56) every such reshape
+# is a full relayout of the panel output, 9x per query block — measured as
+# the gap between the 2D kernel's 74% MXU occupancy (N=96, aligned) and the
+# 3D kernel's ~10%.  Padded cells carry zero volume, so they gather and
+# scatter zeros; the bwd crops them before returning.
+_SUBLANE = 8
 V3W_MIN_Q = 2048
 # HBM budget for the per-bin window array (it duplicates the volume by
 # ~3 * rows/gy); above this the v4 bricked kernels take over.
 _WIN_HBM_BUDGET = 1 << 30
 # Below ~this many queries per bin the padded bin blocks dominate.
 _MIN_Q_PER_BIN = 8
+
+
+def _npad(n: int) -> int:
+    """Ensemble size padded to the sublane tile (see _SUBLANE note)."""
+    return -(-n // _SUBLANE) * _SUBLANE
 
 
 def _xpad(w: int) -> int:
@@ -98,7 +114,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     rows = _win_rows(wp)
     gy = rows - 2
     k = rows * wp
-    cn3 = 3 * n * c
+    cn3 = 3 * _npad(n) * c
     if cn3 * k * 4 > vmem_budget:                   # window scratch
         return False
     # bf16 split copies of the window + the (K, Qb) hit panels
@@ -270,6 +286,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
     """(7, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed)."""
     n, c, d, h, w = cells.shape
     q = points.shape[0]
+    npad = _npad(n)
     wp = _xpad(w)
     rows = _win_rows(wp)
     gy = rows - 2
@@ -282,7 +299,9 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    vol = _pad_volume(cells, d, h, w, hp, wp)
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
+    vol = _pad_volume(cells_p, d, h, w, hp, wp)
     wins = _windows(vol, nbins, nby, gy, rows)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     bb = z0 * nby + y0 // gy
@@ -297,7 +316,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3w_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n, wp=wp, nby=nby)
+        q_block=q_block, channels=c, n_cells=npad, wp=wp, nby=nby)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -307,7 +326,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec,
             meta_spec, meta_spec, meta_spec, meta_spec,
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -315,7 +334,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 3 * c * n, rows * wp), jnp.float32),
+            pltpu.VMEM((2, 3 * c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -407,6 +426,7 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     d, h, w = in_spatial
     k_rows, c, q = g.shape
     n = n_cells
+    npad = _npad(n)
     wp = _xpad(w)
     rows = _win_rows(wp)
     gy = rows - 2
@@ -419,8 +439,9 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
-    wins0 = jnp.zeros((nbins, 3 * c * n, rows * wp), jnp.float32)
+    wins0 = jnp.zeros((nbins, 3 * c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
     same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
@@ -433,7 +454,7 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3w_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n, wp=wp, nby=nby)
+        q_block=q_block, channels=c, n_cells=npad, wp=wp, nby=nby)
     wins = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -442,17 +463,17 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nbins, 3 * c * n, rows * wp),
+        out_shape=jax.ShapeDtypeStruct((nbins, 3 * c * npad, rows * wp),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * c * n, rows * wp), jnp.float32),
+            pltpu.VMEM((1, 3 * c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={11: 0},
@@ -465,7 +486,7 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
       hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, wins0)
-    acc = _scatter_windows(wins, nbz, nby, gy, rows, c * n, hp, wp)
-    acc = acc.reshape(d + 4, c, n, hp, wp)[2:2 + d, :, :, 2:2 + h, :w]
+    acc = _scatter_windows(wins, nbz, nby, gy, rows, c * npad, hp, wp)
+    acc = acc.reshape(d + 4, c, npad, hp, wp)[2:2 + d, :, :n, 2:2 + h, :w]
     return acc.transpose(2, 1, 0, 3, 4).astype(
         jnp.promote_types(g.dtype, points.dtype))
