@@ -89,8 +89,9 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     padded = ((counts + q_block - 1) // q_block) * q_block
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    # own-bin rank via mask-sum (take_along_axis is a per-row gather)
     rank = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - 1
-    rank_at = jnp.take_along_axis(rank, keys[:, None], axis=1)[:, 0]
+    rank_at = (rank * onehot).sum(axis=1, dtype=jnp.int32)
     positions = offs[keys] + rank_at
 
     qp = (pl.cdiv(q, q_block) + nby) * q_block

@@ -88,6 +88,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES:
         return False
     n, c, d, h, w = cells_shape
+    n = _npad(n)
     w = _wpad(w)
     wy = V3B_GY + 2
     if 3 * n * c * wy * w * 4 > vmem_budget:        # brick scratch
@@ -162,9 +163,6 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
         inv = jnp.full((qp,), -1, jnp.int32).at[positions].set(iota)
     else:
         skey, perm = jax.lax.sort_key_val(key, iota)
-        # invert the permutation with one scatter (argsort would be a second
-        # full TPU sort)
-        iperm = jnp.zeros((q,), jnp.int32).at[perm].set(iota)
         edges = jnp.searchsorted(
             skey, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
@@ -173,17 +171,14 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
         cum_padded = jnp.cumsum(padded).astype(jnp.int32)   # inclusive
         offs = cum_padded - padded                          # exclusive starts
 
-        start = edges[:-1]
-        srank = jnp.arange(q, dtype=jnp.int32) - start[skey]
-        spos = offs[skey] + srank
-        positions = spos[iperm]
-
-        slots = jnp.arange(qp, dtype=jnp.int32)
-        b = jnp.minimum(_step_starts(offs, qp), nbins - 1)
-        r = slots - offs[b]
-        occupied = (r >= 0) & (r < counts[b])
-        inv = jnp.where(
-            occupied, perm[jnp.clip(start[b] + r, 0, max(q - 1, 0))], -1)
+        # Random-access 1M-element gathers/scatters measure ~5-6 ms EACH on
+        # TPU, so the slot maps are built with the minimum possible: one
+        # gather (the per-bin slot delta at the sorted keys) and two
+        # scatters.  argsort / iperm / per-slot bin maps are all avoided.
+        delta = offs - edges[:-1]                   # bin slot - bin start
+        spos = delta[skey] + iota                   # slot of sorted rank i
+        positions = jnp.zeros((q,), jnp.int32).at[perm].set(spos)
+        inv = jnp.full((qp,), -1, jnp.int32).at[spos].set(perm)
 
     nblocks = qp // q_block
     bbin = jnp.minimum(_step_starts(offs, nblocks, granularity=q_block),
@@ -221,6 +216,28 @@ def _pad_volume(cells, d, h, w, hp, wp):
     return jnp.pad(cells_f, ((2, 2), (0, 0), (2, hp - h - 2), (0, wp - w)))
 
 
+def _npad(n: int) -> int:
+    """Ensemble size padded to the sublane tile so in-kernel reshapes
+    between (rows*3*C*N, Qb) and (rows, 3, C, N, Qb) are layout-free
+    (see fused3w._SUBLANE).  Padded cells hold zero volume."""
+    return -(-n // 8) * 8
+
+
+def _pad_volume_yzc(cells, d, h, w, hp, wp):
+    """(N,C,D,H,W) -> zero-padded (Hp, D+4, C*N, Wp) HBM layout.
+
+    y outermost so a brick window slice (wy_rows, 3, C*N, Wp) lands in
+    VMEM with the window ROW as the leading scratch dim: the stage-2 row
+    blend then slices the stage-1 panel at (3*C*N)-row granularity —
+    tile-aligned — instead of reshaping to a 5D array whose (wy_rows, Wp)
+    minor dims pad 4 sublanes to 8 (a full relayout per panel)."""
+    n, c = cells.shape[:2]
+    cells_f = cells.astype(jnp.float32).transpose(3, 2, 1, 0, 4).reshape(
+        h, d, c * n, w)
+    return jnp.pad(cells_f,
+                   ((2, hp - h - 2), (2, 2), (0, 0), (0, wp - w)))
+
+
 def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
     """fused3d._axis_prep with the one-hot hit rows spanning the
     lane-padded width ``wp`` >= size (pad rows never match in-bounds
@@ -254,10 +271,12 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     # last real block has hn=0 and starts nothing, and padding blocks skip
     # the wait entirely — at the 128^3 sweep they are ~half the grid, and
     # each skipped wait is a serialized 393 KB brick copy.
+    cn3 = 3 * c * n
+
     def brick_dma(slot, zz, yy):
         return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(zz, 3), :, pl.ds(yy, wy_rows), :],
-            scratch.at[pl.ds(3 * slot, 3)], sem.at[slot])
+            vol_ref.at[pl.ds(yy, wy_rows), pl.ds(zz, 3)],
+            scratch.at[pl.ds(wy_rows * slot, wy_rows)], sem.at[slot])
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
@@ -278,29 +297,36 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                                             q_block, y0, gy)
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
-        # stage 1 (MXU): contract x against every brick row
-        rows = scratch[pl.ds(3 * p, 3)].reshape(3 * c * n * wy_rows, wpad)
+        # stage 1 (MXU): contract x against every brick row.  M order is
+        # (window row, slab, c, n) — the brick DMA's row-major landing —
+        # so stage 2 slices rows at cn3 granularity, tile-aligned.
+        rows = scratch[pl.ds(wy_rows * p, wy_rows)].reshape(
+            wy_rows * cn3, wpad)
         terms = mxu.split_bf16(rows, mxu.EXACT_PASSES)
         b1 = [
             mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
-            .reshape(3, c, n, wy_rows, q_block)
             for i in range(3)
-        ]
-        rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
+        ]                                                 # (wy_rows*cn3, Qb)
+        rows_acc = [jnp.zeros((c, n, q_block), jnp.float32)
+                    for _ in _ROWS_3D]
         for j in range(3):
             for i in range(3):
-                # stage 2 (VPU): one-hot row blend over the y window
-                v = b1[i][:, :, :, 0, :] * hyl[j][0][None, None, None, :]
-                for row in range(1, wy_rows):
-                    v = v + (b1[i][:, :, :, row, :]
-                             * hyl[j][row][None, None, None, :])
+                # stage 2 (VPU): one-hot row blend over the y window,
+                # (1, Qb) row factors broadcast over aligned 2D slices
+                v = jnp.zeros((cn3, q_block), jnp.float32)
+                for row in range(wy_rows):
+                    v = v + (b1[i][row * cn3:(row + 1) * cn3]
+                             * hyl[j][row][None, :])
+                v = v.reshape(3, c, n, q_block)           # layout-free
                 for r, (kx, ky, kz) in enumerate(_ROWS_3D):
                     wyx = wyw[ky][j] * wx[kx][i]            # (N, Qb)
                     acc = (wz[kz][0] * wyx)[None] * v[0]
                     acc = acc + (wz[kz][1] * wyx)[None] * v[1]
                     acc = acc + (wz[kz][2] * wyx)[None] * v[2]
-                    rows_acc[r] = rows_acc[r] + jnp.sum(acc, axis=1)
-        out_ref[:] = jnp.concatenate(rows_acc, axis=0) * mask
+                    rows_acc[r] = rows_acc[r] + acc
+        out = jnp.concatenate(
+            [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
+        out_ref[:] = out * mask
 
     @pl.when(hasv_ref[0, 0, 0] == 0)
     def _():
@@ -315,6 +341,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
     n, c, d, h, w = cells.shape
     q = points.shape[0]
+    npad = _npad(n)
     nby, _, _, hp = _geom(d, h, gy)
     wp = _wpad(w)
     positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
@@ -325,7 +352,9 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    vol = _pad_volume(cells, d, h, w, hp, wp)
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
+    vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     z0n = jnp.roll(z0, -1).at[-1].set(z0[-1])
     y0n = jnp.roll(y0, -1).at[-1].set(y0[-1])
@@ -339,7 +368,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n, wpad=wp)
+        q_block=q_block, channels=c, n_cells=npad, wpad=wp)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -349,7 +378,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec,
             meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -357,7 +386,7 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((6, c * n, gy + 2, wp), jnp.float32),
+            pltpu.VMEM((2 * (gy + 2), 3, c * npad, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -386,6 +415,8 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
 
+    cn3 = 3 * c * n
+
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
         # Same-bin RMW elision: when the previous block already holds this
@@ -394,7 +425,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         # whole blocks with real blocks first, so a deferring block's
         # successor always computes (hasv folded into sn host-side).
         cp = pltpu.make_async_copy(
-            out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
+            out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, 3)],
             scratch, sem_in)
 
         @pl.when(sp_ref[0, 0, 0] == 0)
@@ -411,36 +442,39 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         g = g_ref[:].reshape(7, c, q_block)
         gv = [g[r] * mask for r in range(7)]
 
-        contrib = jnp.zeros((3 * c * n * wy_rows, wpad), jnp.float32)
+        contrib = jnp.zeros((wy_rows * cn3, wpad), jnp.float32)
         for i in range(3):
             # stage 1 (VPU): spread the weighted cotangents over the
-            # window rows with the one-hot row blend
-            u = jnp.zeros((3, c, n, wy_rows, q_block), jnp.float32)
+            # window rows with the one-hot row blend, in the row-major
+            # (window row, slab, c, n) M order of the brick scratch
+            rows_u = [jnp.zeros((cn3, q_block), jnp.float32)
+                      for _ in range(wy_rows)]
             for j in range(3):
                 ps = []
                 for k in range(3):
-                    p = jnp.zeros((c, n, q_block), jnp.float32)
+                    pcn = jnp.zeros((c, n, q_block), jnp.float32)
                     for r, (kx, ky, kz) in enumerate(_ROWS_3D):
                         coeff = wz[kz][k] * wyw[ky][j] * wx[kx][i]
-                        p = p + coeff[None, :, :] * gv[r][:, None, :]
-                    ps.append(p)
-                pk = jnp.stack(ps, axis=0)                 # (3, C, N, Qb)
-                u = u + pk[:, :, :, None, :] * hyl[j][None, None, None]
+                        pcn = pcn + coeff[None, :, :] * gv[r][:, None, :]
+                    ps.append(pcn)
+                pk = jnp.stack(ps, axis=0).reshape(cn3, q_block)
+                for row in range(wy_rows):
+                    rows_u[row] = rows_u[row] + pk * hyl[j][row][None, :]
+            u = jnp.concatenate(rows_u, axis=0)        # (wy_rows*cn3, Qb)
             # stage 2 (MXU): scatter over x via the one-hot transpose
             contrib = contrib + mxu.onehot_dot(
-                u.reshape(3 * c * n * wy_rows, q_block), hx[i],
-                (((1,), (1,)), ((), ())))                  # (rows, W)
+                u, hx[i], (((1,), (1,)), ((), ())))        # (rows, W)
         @pl.when(sp_ref[0, 0, 0] == 0)
         def _():
             cp.wait()
-        scratch[...] = scratch[...] + contrib.reshape(3, c * n, wy_rows,
+        scratch[...] = scratch[...] + contrib.reshape(wy_rows, 3, c * n,
                                                       wpad)
 
         @pl.when(sn_ref[0, 0, 0] == 0)
         def _():
             cp2 = pltpu.make_async_copy(
                 scratch,
-                out_ref.at[pl.ds(z0, 3), :, pl.ds(y0, wy_rows), :],
+                out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, 3)],
                 sem_out)
             cp2.start()
             cp2.wait()
@@ -456,6 +490,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     d, h, w = in_spatial
     k_rows, c, q = g.shape
     n = n_cells
+    npad = _npad(n)
     nby, _, _, hp = _geom(d, h, gy)
     wp = _wpad(w)
     positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
@@ -466,8 +501,9 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
-    vol0 = jnp.zeros((d + 4, c * n, hp, wp), jnp.float32)
+    vol0 = jnp.zeros((hp, d + 4, c * npad, wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
     same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
@@ -480,7 +516,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n, wpad=wp)
+        q_block=q_block, channels=c, n_cells=npad, wpad=wp)
     acc = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -489,16 +525,17 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((d + 4, c * n, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, d + 4, c * npad, wp),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, c * n, gy + 2, wp), jnp.float32),
+            pltpu.VMEM((gy + 2, 3, c * npad, wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={11: 0},
@@ -511,6 +548,6 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
       hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, vol0)
-    acc = acc.reshape(d + 4, c, n, hp, wp)[2:2 + d, :, :, 2:2 + h, :w]
-    return acc.transpose(2, 1, 0, 3, 4).astype(
+    acc = acc.reshape(hp, d + 4, c, npad, wp)[2:2 + h, 2:2 + d, :, :n, :w]
+    return acc.transpose(3, 2, 1, 0, 4).astype(
         jnp.promote_types(g.dtype, points.dtype))

@@ -114,10 +114,11 @@ def fused_gather_macs(generation: str, n_cells: int, channels: int,
         k = spatial[1] * spatial[2]
         panels = 27
     elif generation == "v5":
-        from cosinesampler_tpu.ops.pallas.fused3w import _win_rows, _xpad
+        from cosinesampler_tpu.ops.pallas.fused3w import (_npad, _win_rows,
+                                                          _xpad)
         wp = _xpad(spatial[2])
         k = _win_rows(wp) * wp
-        m = 3 * m
+        m = 3 * _npad(n_cells) * channels     # ensemble sublane-padded
         panels = 9
     elif generation == "v5_2d":
         from cosinesampler_tpu.ops.pallas.fused3w import _win_rows, _xpad
@@ -125,9 +126,10 @@ def fused_gather_macs(generation: str, n_cells: int, channels: int,
         k = _win_rows(wp) * wp
         panels = 9
     elif generation == "v4":
-        from cosinesampler_tpu.ops.pallas.fused3b import V3B_GY, _wpad
+        from cosinesampler_tpu.ops.pallas.fused3b import (V3B_GY, _npad,
+                                                          _wpad)
         k = _wpad(spatial[2])
-        m = 3 * m * (V3B_GY + 2)
+        m = 3 * _npad(n_cells) * channels * (V3B_GY + 2)
         panels = 3
     else:
         raise ValueError(f"unknown generation {generation!r}")

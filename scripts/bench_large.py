@@ -25,7 +25,7 @@ from cosinesampler_tpu.ops.config import SamplerConfig
 from cosinesampler_tpu.ops.pallas import fused3b
 
 N, C, S, Q = 16, 4, 128, 1_000_000
-REPS = 5
+REPS = 10
 
 
 def scan_time(fn, *args, reps=REPS, name=""):
