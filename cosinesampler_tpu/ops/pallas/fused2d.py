@@ -33,7 +33,7 @@ from ..coords import multicell_offsets
 from . import mxu
 from .kernels import _valid_mask
 from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, cell_weights,
-                   n_shifts, shift_lo)
+                   n_shifts, npad as _npad, shift_lo)
 
 # 256 is the sweet spot: 512 pushes the kernel's VMEM footprint past what
 # Mosaic can double-buffer and throughput collapses ~20x.
@@ -47,7 +47,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
     if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, h, w = cells_shape
-    if (n * c * h * w * 4 > vmem_budget or h * w * V2_Q_BLOCK * 4 >
+    if (_npad(n) * c * h * w * 4 > vmem_budget or h * w * V2_Q_BLOCK * 4 >
             vmem_budget):
         return False
     return True
@@ -111,20 +111,23 @@ def pallas_fused2_blend(cells, points, cfg: SamplerConfig,
     """(5, C, Q) fused multicell value/jac/diag-Hessian (v2, 2D/zeros)."""
     n, c, h, w = cells.shape
     q = points.shape[0]
+    npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
     qp = pl.cdiv(q, q_block) * q_block
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, qp - q), (0, 0)))
     axes = [pts[:, i].reshape(qp // q_block, 1, q_block) for i in range(2)]
     valid = _valid_mask(q, qp, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    cells_flat = cells.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
-        c * n, h * w)
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
+    cells_flat = cells_p.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
+        c * npad, h * w)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _fused2_blend_kernel, cfg=cfg, spatial=(h, w), q_block=q_block,
-        channels=c, n_cells=n)
+        channels=c, n_cells=npad)
     out = pl.pallas_call(
         kernel,
         grid=(qp // q_block,),
@@ -132,9 +135,9 @@ def pallas_fused2_blend(cells, points, cfg: SamplerConfig,
             coord_spec, coord_spec,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * c, h * w), lambda qi: (0, 0),
+            pl.BlockSpec((npad * c, h * w), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((5 * c, q_block), lambda qi: (0, qi),
@@ -190,6 +193,7 @@ def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
     h, w = in_spatial
     k_rows, c, q = g.shape
     n = n_cells
+    npad = _npad(n)
     qp = pl.cdiv(q, q_block) * q_block
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, qp - q), (0, 0)))
@@ -198,6 +202,7 @@ def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
     first = (jnp.arange(qp // q_block, dtype=jnp.int32) == 0).astype(
         jnp.int32).reshape(qp // q_block, 1, 1)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     gq = jnp.pad(g.reshape(k_rows * c, q).astype(jnp.float32),
                  ((0, 0), (0, qp - q)))
 
@@ -205,7 +210,7 @@ def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
                               memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _fused2_bwd_kernel, cfg=cfg, spatial=(h, w), q_block=q_block,
-        channels=c, n_cells=n)
+        channels=c, n_cells=npad)
     acc = pl.pallas_call(
         kernel,
         grid=(qp // q_block,),
@@ -215,17 +220,17 @@ def pallas_fused2_bwd(g, points, in_spatial: Tuple[int, ...],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c * n, h * w), lambda qi: (0, 0),
+        out_specs=pl.BlockSpec((c * npad, h * w), lambda qi: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c * n, h * w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c * npad, h * w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, valid, first, offsets, gq)
-    return acc.reshape(c, n, h, w).transpose(1, 0, 2, 3).astype(
+    return acc.reshape(c, npad, h, w)[:, :n].transpose(1, 0, 2, 3).astype(
         jnp.promote_types(g.dtype, points.dtype))

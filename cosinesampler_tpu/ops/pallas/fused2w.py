@@ -37,7 +37,7 @@ from ..coords import multicell_offsets
 from . import mxu
 from .fused2d import _ROWS_2D
 from .fused3w import _win_rows, _xpad, _x_prep, _y_prep
-from .prep import FUSED_PADDING_MODES, bin_base
+from .prep import FUSED_PADDING_MODES, bin_base, npad as _npad
 
 V2W_Q_BLOCK = 512
 V2W_MIN_Q = 2048
@@ -59,7 +59,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     rows = _win_rows(wp)
     gy = rows - 2
     k = rows * wp
-    cn = n * c
+    cn = _npad(n) * c
     if 2 * cn * k * 4 > vmem_budget:                # double-buffer scratch
         return False
     if mxu.EXACT_PASSES * cn * k * 2 > vmem_budget:
@@ -208,6 +208,7 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
     """(5, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed 2D)."""
     n, c, h, w = cells.shape
     q = points.shape[0]
+    npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
     wp = _xpad(w)
     rows = _win_rows(wp)
     gy = rows - 2
@@ -219,7 +220,9 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    wins = _windows2(_pad_grid(cells, h, w, hp, wp), nby, gy, rows)
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
+    wins = _windows2(_pad_grid(cells_p, h, w, hp, wp), nby, gy, rows)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     bb = y0 // gy
     bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
@@ -233,7 +236,7 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused2w_blend_kernel, cfg=cfg, spatial=(h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n, wp=wp)
+        q_block=q_block, channels=c, n_cells=npad, wp=wp)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -242,7 +245,7 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -250,7 +253,7 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, c * n, rows * wp), jnp.float32),
+            pltpu.VMEM((2, c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -333,6 +336,7 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     h, w = in_spatial
     k_rows, c, q = g.shape
     n = n_cells
+    npad = _npad(n)
     wp = _xpad(w)
     rows = _win_rows(wp)
     gy = rows - 2
@@ -344,8 +348,9 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
     validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
-    wins0 = jnp.zeros((nby, c * n, rows * wp), jnp.float32)
+    wins0 = jnp.zeros((nby, c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
     same = (y0 == jnp.roll(y0, -1))
@@ -358,7 +363,7 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused2w_bwd_kernel, cfg=cfg, spatial=(h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=n, wp=wp)
+        q_block=q_block, channels=c, n_cells=npad, wp=wp)
     wins = pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -367,16 +372,17 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec, meta_spec,
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nby, c * n, rows * wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nby, c * npad, rows * wp),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, c * n, rows * wp), jnp.float32),
+            pltpu.VMEM((1, c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={9: 0},
@@ -388,7 +394,7 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
       y0.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, wins0)
-    acc = _scatter_windows2(wins, nby, gy, rows, c * n, hp, wp)
-    acc = acc.reshape(c, n, hp, wp)[:, :, 2:2 + h, :w]
+    acc = _scatter_windows2(wins, nby, gy, rows, c * npad, hp, wp)
+    acc = acc.reshape(c, npad, hp, wp)[:, :n, 2:2 + h, :w]
     return acc.transpose(1, 0, 2, 3).astype(
         jnp.promote_types(g.dtype, points.dtype))

@@ -51,7 +51,8 @@ from ..coords import multicell_offsets
 from . import mxu
 from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
-from .prep import FUSED_PADDING_MODES, axis_transform, bin_base, cell_weights
+from .prep import (FUSED_PADDING_MODES, axis_transform, bin_base,
+                   cell_weights, npad as _npad)
 
 V3B_Q_BLOCK = 128
 V3B_GY = 2            # y rows per bin; brick window is GY + 2 rows
@@ -214,13 +215,6 @@ def _pad_volume(cells, d, h, w, hp, wp):
     cells_f = cells.astype(jnp.float32).transpose(2, 1, 0, 3, 4).reshape(
         d, c * n, h, w)
     return jnp.pad(cells_f, ((2, 2), (0, 0), (2, hp - h - 2), (0, wp - w)))
-
-
-def _npad(n: int) -> int:
-    """Ensemble size padded to the sublane tile so in-kernel reshapes
-    between (rows*3*C*N, Qb) and (rows, 3, C, N, Qb) are layout-free
-    (see fused3w._SUBLANE).  Padded cells hold zero volume."""
-    return -(-n // 8) * 8
 
 
 def _pad_volume_yzc(cells, d, h, w, hp, wp):

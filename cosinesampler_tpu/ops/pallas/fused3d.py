@@ -30,7 +30,7 @@ from ..coords import multicell_offsets
 from . import mxu
 from .kernels import _valid_mask
 from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, cell_weights,
-                   n_shifts, shift_lo)
+                   n_shifts, npad as _npad, shift_lo)
 
 V3_Q_BLOCK = 256
 
@@ -44,7 +44,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
         return False
     n, c, d, h, w = cells_shape
     vol = d * h * w
-    if (n * c * vol * 4 > vmem_budget          # resident cell stack
+    if (_npad(n) * c * vol * 4 > vmem_budget   # resident cell stack
             or vol * V3_Q_BLOCK * 4 > vmem_budget):  # one A panel
         return False
     return True
@@ -107,20 +107,23 @@ def pallas_fused3_blend(cells, points, cfg: SamplerConfig,
     """(7, C, Q) fused multicell value/jac/diag-Hessian (v2, 3D/zeros)."""
     n, c, d, h, w = cells.shape
     q = points.shape[0]
+    npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
     qp = pl.cdiv(q, q_block) * q_block
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, qp - q), (0, 0)))
     axes = [pts[:, i].reshape(qp // q_block, 1, q_block) for i in range(3)]
     valid = _valid_mask(q, qp, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    cells_flat = cells.astype(jnp.float32).transpose(1, 0, 2, 3, 4).reshape(
-        c * n, d * h * w)
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
+    cells_flat = cells_p.astype(jnp.float32).transpose(
+        1, 0, 2, 3, 4).reshape(c * npad, d * h * w)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _fused3_blend_kernel, cfg=cfg, spatial=(d, h, w), q_block=q_block,
-        channels=c, n_cells=n)
+        channels=c, n_cells=npad)
     out = pl.pallas_call(
         kernel,
         grid=(qp // q_block,),
@@ -128,9 +131,9 @@ def pallas_fused3_blend(cells, points, cfg: SamplerConfig,
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c * n, d * h * w), lambda qi: (0, 0),
+            pl.BlockSpec((c * npad, d * h * w), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((7 * c, q_block), lambda qi: (0, qi),
@@ -191,6 +194,7 @@ def pallas_fused3_bwd(g, points, in_spatial: Tuple[int, ...],
     d, h, w = in_spatial
     k_rows, c, q = g.shape
     n = n_cells
+    npad = _npad(n)
     qp = pl.cdiv(q, q_block) * q_block
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, qp - q), (0, 0)))
@@ -199,6 +203,7 @@ def pallas_fused3_bwd(g, points, in_spatial: Tuple[int, ...],
     first = (jnp.arange(qp // q_block, dtype=jnp.int32) == 0).astype(
         jnp.int32).reshape(qp // q_block, 1, 1)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
+    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     gq = jnp.pad(g.reshape(k_rows * c, q).astype(jnp.float32),
                  ((0, 0), (0, qp - q)))
 
@@ -206,7 +211,7 @@ def pallas_fused3_bwd(g, points, in_spatial: Tuple[int, ...],
                               memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _fused3_bwd_kernel, cfg=cfg, spatial=(d, h, w), q_block=q_block,
-        channels=c, n_cells=n)
+        channels=c, n_cells=npad)
     acc = pl.pallas_call(
         kernel,
         grid=(qp // q_block,),
@@ -216,17 +221,17 @@ def pallas_fused3_bwd(g, points, in_spatial: Tuple[int, ...],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n, 1), lambda qi: (0, 0),
+            pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c * n, d * h * w), lambda qi: (0, 0),
+        out_specs=pl.BlockSpec((c * npad, d * h * w), lambda qi: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c * n, d * h * w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c * npad, d * h * w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, valid, first, offsets, gq)
-    return acc.reshape(c, n, d, h, w).transpose(1, 0, 2, 3, 4).astype(
-        jnp.promote_types(g.dtype, points.dtype))
+    return acc.reshape(c, npad, d, h, w)[:, :n].transpose(
+        1, 0, 2, 3, 4).astype(jnp.promote_types(g.dtype, points.dtype))

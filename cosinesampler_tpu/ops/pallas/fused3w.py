@@ -58,7 +58,8 @@ from . import mxu
 from .fused3b import _brick_bin, _geom, _pad_volume
 from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
-from .prep import FUSED_PADDING_MODES, axis_transform, cell_weights
+from .prep import (FUSED_PADDING_MODES, axis_transform, cell_weights,
+                   npad as _npad)
 
 # 128 measured fastest on v5e once the blend ran relayout-free (5.7/6.2/
 # 7.3/8.4 ms at 128/256/512/1024 on the reference 3D workload,
@@ -66,7 +67,7 @@ from .prep import FUSED_PADDING_MODES, axis_transform, cell_weights
 # smallest block minimizes per-bin padding queries (<= nbins * q_block
 # slots).  The earlier 512 tuning predates the sublane-pad fix.
 V3W_Q_BLOCK = 128
-# The ensemble dim is padded to the Mosaic sublane tile (8) HOST-SIDE so the
+# The ensemble dim is sublane-padded HOST-SIDE (prep.npad) so the
 # in-kernel reshapes between the (3*C*N, Qb) matmul layout and the
 # (3, C, N, Qb) blend layout are layout-free: with an unaligned N (the
 # reference 3D workload has N=50, which tiles pad to 56) every such reshape
@@ -74,18 +75,12 @@ V3W_Q_BLOCK = 128
 # the gap between the 2D kernel's 74% MXU occupancy (N=96, aligned) and the
 # 3D kernel's ~10%.  Padded cells carry zero volume, so they gather and
 # scatter zeros; the bwd crops them before returning.
-_SUBLANE = 8
 V3W_MIN_Q = 2048
 # HBM budget for the per-bin window array (it duplicates the volume by
 # ~3 * rows/gy); above this the v4 bricked kernels take over.
 _WIN_HBM_BUDGET = 1 << 30
 # Below ~this many queries per bin the padded bin blocks dominate.
 _MIN_Q_PER_BIN = 8
-
-
-def _npad(n: int) -> int:
-    """Ensemble size padded to the sublane tile (see _SUBLANE note)."""
-    return -(-n // _SUBLANE) * _SUBLANE
 
 
 def _xpad(w: int) -> int:

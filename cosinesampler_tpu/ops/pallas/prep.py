@@ -38,6 +38,18 @@ FUSED_PADDING_MODES = ("zeros", "border")
 #: padding modes the VMEM-resident shared-support kernels implement
 FUSED_PADDING_MODES_WIDE = ("zeros", "border", "reflection")
 
+#: Mosaic sublane tile: in-kernel reshapes splitting/merging the
+#: second-minor dim are layout-free only at multiples of this.
+SUBLANE = 8
+
+
+def npad(n: int) -> int:
+    """Ensemble size padded to the sublane tile, so the fused kernels'
+    reshapes between (…*C*N, Qb) matmul layout and (…, C, N, Qb) blend
+    layout are layout-free.  Padded cells carry zero volume (they gather
+    and scatter zeros; callers crop gradients before returning)."""
+    return -(-n // SUBLANE) * SUBLANE
+
 
 def n_shifts(cfg) -> int:
     """Texel-patch width per axis: 4 for reflection (fold can reverse the
