@@ -36,6 +36,7 @@ from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
 from .fused2d import _ROWS_2D
+from .fused3b import scatter_to_slots
 from .fused3w import _win_rows, _xpad, _x_prep, _y_prep
 from .prep import FUSED_PADDING_MODES, bin_base, npad as _npad
 
@@ -77,7 +78,8 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     """Counting-sort queries by y row group with per-bin block padding.
 
     Same structure as fused3s._zbin (dense one-hot counting sort — the
-    bin count is tiny); returns (positions, inv, y0_block, hasv, qp).
+    bin count is tiny); returns (positions, occ, y0_block, hasv, qp)
+    with occ the (qp,) slot-occupancy mask (see fused3b._brick_bin).
     """
     q = points.shape[0]
     nby, _ = _geom2(h, gy)
@@ -95,16 +97,16 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     positions = offs[keys] + rank_at
 
     qp = (pl.cdiv(q, q_block) + nby) * q_block
-    inv = jnp.full((qp,), -1, jnp.int32).at[positions].set(
-        jnp.arange(q, dtype=jnp.int32), unique_indices=True)
+    occ = jnp.zeros((qp,), jnp.float32).at[positions].set(
+        1.0, unique_indices=True)
     nblocks = qp // q_block
     start_blocks = offs // q_block
     bidx = jnp.arange(nblocks, dtype=jnp.int32)
     block_bin = (bidx[:, None] >= start_blocks[None, :]).sum(
         axis=1, dtype=jnp.int32) - 1
     y0_block = block_bin * gy
-    hasv = (inv[bidx * q_block] >= 0).astype(jnp.int32)
-    return positions, inv, y0_block, hasv, qp
+    hasv = (occ[bidx * q_block] > 0).astype(jnp.int32)
+    return positions, occ, y0_block, hasv, qp
 
 
 def _pad_grid(cells, h, w, hp, wp):
@@ -213,12 +215,12 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
     rows = _win_rows(wp)
     gy = rows - 2
     nby, hp = _geom2(h, gy)
-    positions, inv, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
     nblocks = qp // q_block
 
-    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
-    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
@@ -341,15 +343,16 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     rows = _win_rows(wp)
     gy = rows - 2
     nby, hp = _geom2(h, gy)
-    positions, inv, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
     nblocks = qp // q_block
 
-    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
-    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
+    gq = scatter_to_slots(
+        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     wins0 = jnp.zeros((nby, c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)

@@ -131,11 +131,14 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
     """Sort queries by (floor(base_z), floor(base_y) // gy) with per-bin
     block padding.
 
-    Returns (positions, inv, z0, y0, hasv, qp): ``positions[q]`` is query
-    q's slot in the padded layout, ``inv`` the slot->query map (-1 =
-    padding), ``z0``/``y0`` the per-block brick origin in the PADDED
-    volume (z0 = fz + 2, y0 = group * gy), ``hasv`` whether the block has
-    any real query, ``qp`` the static padded slot count.
+    Returns (positions, occ, z0, y0, hasv, qp): ``positions[q]`` is query
+    q's slot in the padded layout, ``occ`` the (qp,) f32 slot-occupancy
+    mask, ``z0``/``y0`` the per-block brick origin in the PADDED volume
+    (z0 = fz + 2, y0 = group * gy), ``hasv`` whether the block has any
+    real query, ``qp`` the static padded slot count.  Per-query payloads
+    reach the kernel by SCATTERING into slots via ``positions``
+    (scatter_to_slots); a slot->query inverse map is never materialized
+    (each 1M-element random gather/scatter costs ~5-6 ms on TPU).
     """
     q = points.shape[0]
     nby, nbz, nbins, _ = _geom(d, h, gy)
@@ -161,7 +164,6 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
         cum_padded = jnp.cumsum(padded).astype(jnp.int32)
         offs = cum_padded - padded
         positions = offs[key] + srank
-        inv = jnp.full((qp,), -1, jnp.int32).at[positions].set(iota)
     else:
         skey, perm = jax.lax.sort_key_val(key, iota)
         edges = jnp.searchsorted(
@@ -179,7 +181,6 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
         delta = offs - edges[:-1]                   # bin slot - bin start
         spos = delta[skey] + iota                   # slot of sorted rank i
         positions = jnp.zeros((q,), jnp.int32).at[perm].set(spos)
-        inv = jnp.full((qp,), -1, jnp.int32).at[spos].set(perm)
 
     nblocks = qp // q_block
     bbin = jnp.minimum(_step_starts(offs, nblocks, granularity=q_block),
@@ -187,8 +188,19 @@ def _brick_bin(points, d: int, h: int, cfg: SamplerConfig, q_block: int,
     z0 = bbin // nby
     y0 = (bbin % nby) * gy
     bi = jnp.arange(nblocks, dtype=jnp.int32)
-    hasv = (inv[bi * q_block] >= 0).astype(jnp.int32)
-    return positions, inv, z0, y0, hasv, qp
+    occ = jnp.zeros((qp,), jnp.float32).at[positions].set(
+        1.0, unique_indices=True)
+    hasv = (occ[bi * q_block] > 0).astype(jnp.int32)
+    return positions, occ, z0, y0, hasv, qp
+
+
+def scatter_to_slots(arr, positions, qp):
+    """Scatter per-query rows (Q, ...) into their padded slots (qp, ...).
+
+    positions are unique; padding slots stay zero (callers mask by occ).
+    """
+    out = jnp.zeros((qp,) + arr.shape[1:], arr.dtype)
+    return out.at[positions].set(arr, unique_indices=True)
 
 
 def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
@@ -338,13 +350,13 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     npad = _npad(n)
     nby, _, _, hp = _geom(d, h, gy)
     wp = _wpad(w)
-    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
 
-    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
@@ -487,16 +499,17 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     npad = _npad(n)
     nby, _, _, hp = _geom(d, h, gy)
     wp = _wpad(w)
-    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
 
-    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
+    gq = scatter_to_slots(
+        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     vol0 = jnp.zeros((hp, d + 4, c * npad, wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)

@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
-from .fused3b import _brick_bin, _geom, _pad_volume
+from .fused3b import _brick_bin, _geom, _pad_volume, scatter_to_slots
 from .fused3d import _ROWS_3D
 from .fused3s import _z_weights
 from .prep import (FUSED_PADDING_MODES, axis_transform, cell_weights,
@@ -286,13 +286,13 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
     rows = _win_rows(wp)
     gy = rows - 2
     nby, nbz, nbins, hp = _geom(d, h, gy)
-    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
 
-    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
@@ -426,16 +426,17 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     rows = _win_rows(wp)
     gy = rows - 2
     nby, nbz, nbins, hp = _geom(d, h, gy)
-    positions, inv, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
 
-    pts_p = points.astype(jnp.float32)[jnp.maximum(inv, 0)]
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = (inv >= 0).astype(jnp.float32).reshape(nblocks, 1, q_block)
+    validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    gq = g.reshape(k_rows * c, q).astype(jnp.float32)[:, jnp.maximum(inv, 0)]
+    gq = scatter_to_slots(
+        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     wins0 = jnp.zeros((nbins, 3 * c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)

@@ -55,23 +55,24 @@ def main():
     npad = fused3w._npad(50)
 
     def bin_only(p):
-        positions, inv, z0, y0, hasv, qp = fused3b._brick_bin(
+        positions, occ, z0, y0, hasv, qp = fused3b._brick_bin(
             p, d, h, cfg, q_block, gy)
-        return (positions[0] + inv[0] + z0[0] + y0[0] + hasv[0]).astype(
+        return (positions[0] + occ[0] + z0[0] + y0[0] + hasv[0]).astype(
             jnp.float32)
 
     sec = timed_scan(bin_only, pts)
     print(f"brick_bin only      : {sec * 1e3:7.2f} ms", flush=True)
 
     def prep_all(p):
-        positions, inv, z0, y0, hasv, qp = fused3b._brick_bin(
+        positions, occ, z0, y0, hasv, qp = fused3b._brick_bin(
             p, d, h, cfg, q_block, gy)
-        pts_p = p.astype(jnp.float32)[jnp.maximum(inv, 0)]
+        pts_p = fused3b.scatter_to_slots(p.astype(jnp.float32), positions,
+                                         qp)
         cells_p = jnp.pad(cells, ((0, npad - 50),) + ((0, 0),) * 4)
         vol = fused3b._pad_volume(cells_p, d, h, w, hp, wp)
         wins = fused3w._windows(vol, nbins, nby, gy, rows)
         fake = wins[0, 0, 0] + pts_p[0, 0]
-        out = jnp.broadcast_to(fake, (28, inv.shape[0]))
+        out = jnp.broadcast_to(fake, (28, occ.shape[0]))
         return out[:, positions].reshape(7, 4, 100_000)[0, 0, 0]
 
     sec = timed_scan(prep_all, pts)

@@ -55,9 +55,9 @@ def main():
     print(f"raw sort_key_val 1M : {sec * 1e3:7.2f} ms", flush=True)
 
     def bin_only(p):
-        positions, inv, z0, y0, hasv, qp = fused3b._brick_bin(
+        positions, occ, z0, y0, hasv, qp = fused3b._brick_bin(
             p, S, S, cfg, fused3b.V3B_Q_BLOCK, gy)
-        return (positions[0] + inv[0] + z0[0] + y0[0] + hasv[0]).astype(
+        return (positions[0] + occ[0] + z0[0] + y0[0] + hasv[0]).astype(
             jnp.float32)
 
     sec = timed_scan(bin_only, pts)

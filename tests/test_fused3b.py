@@ -24,12 +24,14 @@ def _data(seed=0, lo=-0.95, hi=0.95, shape=(6, 6, 6)):
 def test_brick_bin_partition():
     _, pts = _data(7, lo=-1.7, hi=1.7)   # include OOB
     cfg = SamplerConfig(dim=3)
-    positions, inv, z0, y0, hasv, qp = _brick_bin(pts, 6, 6, cfg, 32, 2)
+    positions, occ, z0, y0, hasv, qp = _brick_bin(pts, 6, 6, cfg, 32, 2)
     positions = np.asarray(positions)
-    inv = np.asarray(inv)
+    occ = np.asarray(occ)
     assert len(set(positions.tolist())) == Q
     assert positions.min() >= 0 and positions.max() < qp
-    assert (inv[positions] == np.arange(Q)).all()
+    # occupancy marks exactly the assigned slots
+    assert occ.sum() == Q
+    assert (occ[positions] == 1.0).all()
     # block origins lie inside the padded volume
     z0 = np.asarray(z0)
     y0 = np.asarray(y0)
@@ -38,7 +40,7 @@ def test_brick_bin_partition():
     assert y0.min() >= 0 and (y0 + 4).max() <= nby * 2 + 2
     # hasv marks exactly the blocks whose first slot is occupied
     hasv = np.asarray(hasv)
-    assert (hasv == (inv[np.arange(len(hasv)) * 32] >= 0)).all()
+    assert (hasv == (occ[np.arange(len(hasv)) * 32] > 0)).all()
 
 
 @pytest.mark.parametrize("kernel", ["cosine", "linear", "smoothstep"])
