@@ -174,7 +174,7 @@ def _bench_3d(optimizer):
     opt_state = optimizer.init(params)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 3)),
                       dtype=jnp.float32)
-    step = jax.jit(pinn.make_train_step(cfg, optimizer, fused=True))
+    step = jax.jit(pinn.make_train_step(cfg, optimizer, slot_resident=True))
     return _bench(step, params, opt_state, pts, "fused3d@100k")
 
 
@@ -239,7 +239,8 @@ def _bench_large_sweep():
             jax.random.PRNGKey(3), pcfg).items() if k != "cells"}}
         optimizer = optax.adam(1e-3)
         opt_state = optimizer.init(params)
-        step = jax.jit(pinn.make_train_step(pcfg, optimizer, fused=True))
+        step = jax.jit(pinn.make_train_step(pcfg, optimizer,
+                                            slot_resident=True))
 
         @jax.jit
         def many_step(params, opt_state, p):
@@ -306,7 +307,10 @@ def main():
     params = pinn.init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
 
-    fused_step = jax.jit(pinn.make_train_step(cfg, optimizer, fused=True))
+    # slot-resident: the residual stays in the sampler's bin-slot layout,
+    # skipping the per-step output gather + cotangent scatter
+    fused_step = jax.jit(pinn.make_train_step(cfg, optimizer,
+                                              slot_resident=True))
     ours_ips = _bench(fused_step, params, opt_state, pts, "fused@100k")
     ours_pps = ours_ips * N_POINTS
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.config import SamplerConfig
-from ..ops.fused import sample_features_with_derivs
+from ..ops.fused import sample_features_padded, sample_features_with_derivs
 from ..ops.sampler import sample
 
 
@@ -112,21 +112,33 @@ def field_and_grads(params, pts, cfg: PINNConfig):
     answer to the reference's fwd+bwd+bwd^2 CUDA chain per step
     (SURVEY.md section 3.5).
     """
-    d = cfg.dim
     feats = sample_features_with_derivs(params["cells"], pts, cfg.sampler)
-    f = feats[0]                                     # (C, Q), channels-first
-    jac = [feats[1 + ax] for ax in range(d)]
-    hes = [feats[1 + d + ax] for ax in range(d)]
+    # channels-first MLP: avoids (C,Q)->(Q,C) relayouts of the big
+    # per-point feature fields
+    return _mlp_derivs(params, feats, cfg.dim)
+
+
+def _residual_from_fields(u, u_d, u_dd, cfg: PINNConfig):
+    if cfg.pde == "allen_cahn":
+        return 2.0 * u_d[1] + 5.0 * u**3 - 5.0 * u - 1e-4 * u_dd[0]
+    if cfg.pde == "helmholtz":
+        return sum(u_dd) + u
+    raise ValueError(f"unknown pde {cfg.pde!r}")
+
+
+def _mlp_derivs(params, feats, dim):
+    """Propagate the MLP through value/jac/diag-Hessian feature rows."""
+    f = feats[0]
+    jac = [feats[1 + ax] for ax in range(dim)]
+    hes = [feats[1 + dim + ax] for ax in range(dim)]
 
     def net(z):
-        # channels-first MLP: avoids (C,Q)->(Q,C) relayouts of the big
-        # per-point feature fields
         h = jnp.tanh(params["w1"].T @ z + params["b1"][:, None])
         return (params["w2"].T @ h + params["b2"][:, None])[0]
 
     u = net(f)
     u_d, u_dd = [], []
-    for ax in range(d):
+    for ax in range(dim):
         def first(fv, fxv):
             return jax.jvp(net, (fv,), (fxv,))
 
@@ -139,16 +151,23 @@ def field_and_grads(params, pts, cfg: PINNConfig):
 def residual_fused(params, pts, cfg: PINNConfig):
     """PDE residual via the fused value/derivative pass."""
     u, u_d, u_dd = field_and_grads(params, pts, cfg)
-    if cfg.pde == "allen_cahn":
-        return 2.0 * u_d[1] + 5.0 * u**3 - 5.0 * u - 1e-4 * u_dd[0]
-    if cfg.pde == "helmholtz":
-        return sum(u_dd) + u
-    raise ValueError(f"unknown pde {cfg.pde!r}")
+    return _residual_from_fields(u, u_d, u_dd, cfg)
 
 
 def loss_fused(params, pts, cfg: PINNConfig):
     f = residual_fused(params, pts, cfg)
     return jnp.mean(f**2)
+
+
+def loss_fused_slots(params, pts, cfg: PINNConfig):
+    """Slot-resident fused loss: identical value to loss_fused (up to fp
+    summation order), but the whole residual is computed in the sampler's
+    bin-slot layout, masked by ``occ`` — the per-step output gather and
+    cotangent scatter of the query-ordered path disappear."""
+    feats, occ, _ = sample_features_padded(params["cells"], pts, cfg.sampler)
+    u, u_d, u_dd = _mlp_derivs(params, feats, cfg.dim)
+    f = _residual_from_fields(u, u_d, u_dd, cfg)
+    return jnp.sum(jnp.square(f) * occ) / pts.shape[0]
 
 
 def residual(params, pts, cfg: PINNConfig):
@@ -172,13 +191,18 @@ def loss(params, pts, cfg: PINNConfig):
     return jnp.mean(f**2)
 
 
-def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False):
+def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
+                    slot_resident: bool = False):
     """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready.
 
     ``fused=True`` uses the single-pass value/derivative sampler
     (loss_fused); ``False`` uses nested jax.grad through the sampler chain.
+    ``slot_resident=True`` (implies fused) keeps the residual in the
+    sampler's bin-slot layout (loss_fused_slots) — same loss up to fp
+    summation order, minus two random-access passes per step.
     """
-    loss_fn = loss_fused if fused else loss
+    loss_fn = (loss_fused_slots if slot_resident
+               else loss_fused if fused else loss)
 
     def step(params, opt_state, pts):
         lval, grads = jax.value_and_grad(lambda p: loss_fn(p, pts, cfg))(params)

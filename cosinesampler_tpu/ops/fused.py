@@ -166,6 +166,111 @@ def make_fused(cfg: SamplerConfig, n_cells: int, in_spatial: Tuple[int, ...]):
     return fused_o
 
 
+_FUSED_PADDED_CACHE = {}
+
+
+def make_fused_padded(cfg: SamplerConfig, n_cells: int,
+                      in_spatial: Tuple[int, ...]):
+    """Slot-resident fused op: (cells, points) -> (out_p, occ, positions).
+
+    ``out_p`` is (1+2d, C, QP) in the kernel's bin-slot layout with
+    ``out_p[:, :, positions]`` equal to sample_features_with_derivs and
+    zeros in padding slots (flagged by ``occ``).  A consumer that computes
+    its loss directly in slot space (masking by ``occ``) skips the
+    per-step output gather AND the cotangent scatter of the query-ordered
+    API — the two large random-access passes (models/pinn.py
+    slot_resident).  When no slot-resident kernel applies the plan is the
+    identity (QP == Q, positions == arange), so the API is always valid.
+    """
+    key = (cfg, n_cells, in_spatial)
+    cached = _FUSED_PADDED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def impl(cells, points):
+        fused_fn = _resolve_fused(cfg, "fused_blend")
+        if fused_fn is not None:
+            out = fused_fn(cells, points, cfg)
+            if out is not None:
+                return out
+        return xla_fused_blend(cells, points, cfg)
+
+    def impl_padded(cells, points):
+        fn = _resolve_fused(cfg, "fused_padded")
+        if fn is not None:
+            out = fn(cells, points, cfg)
+            if out is not None:
+                return out
+        out = impl(cells, points)
+        q = points.shape[0]
+        return (out, jnp.ones((q,), jnp.float32),
+                jnp.arange(q, dtype=jnp.int32))
+
+    def bwd_impl_padded(g_p, points):
+        fn = _resolve_fused(cfg, "fused_padded_bwd")
+        if fn is not None:
+            out = fn(g_p, points, in_spatial, cfg, n_cells)
+            if out is not None:
+                return out
+        # identity plan: g_p is already query-ordered (QP == Q)
+        fused_fn = _resolve_fused(cfg, "fused_bwd")
+        if fused_fn is not None:
+            out = fused_fn(g_p, points, in_spatial, cfg, n_cells)
+            if out is not None:
+                return out
+        return xla_fused_bwd(g_p, points, in_spatial, cfg, n_cells)
+
+    @jax.custom_vjp
+    def fused_p(cells, points):
+        return impl_padded(cells, points)
+
+    def fused_fwd(cells, points):
+        out = fused_p(cells, points)
+        return out, (cells, points, out[2])
+
+    def fused_bwd(res, gs):
+        cells, points, positions = res
+        g_p = gs[0]          # occ / positions cotangents: piecewise-const
+        cells_bar = bwd_impl_padded(g_p, points)
+        # points cotangent: gather the cotangent back to query order, then
+        # the order-bumped blends (DCE'd when the caller does not
+        # differentiate w.r.t. the points)
+        q = points.shape[0]
+        c = g_p.shape[1]
+        g_q = g_p.reshape(-1, g_p.shape[-1])[:, positions].reshape(
+            1 + 2 * cfg.dim, c, q)
+        grid = _points_to_grid(points, n_cells)
+        lanes = []
+        for ax in range(cfg.dim):
+            acc = 0.0
+            for row, o in enumerate(_all_orders(cfg.dim)):
+                bumped = tuple(v + (1 if i == ax else 0)
+                               for i, v in enumerate(o))
+                blend_b = differentiable_blend(cfg, bumped)
+                term = blend_b(cells, grid).reshape(n_cells, -1, q).sum(0)
+                acc = acc + (g_q[row] * term).sum(axis=0)
+            lanes.append(acc)
+        points_bar = jnp.stack(lanes, axis=-1).astype(points.dtype)
+        return cells_bar, points_bar
+
+    fused_p.defvjp(fused_fwd, fused_bwd)
+    _FUSED_PADDED_CACHE[key] = fused_p
+    return fused_p
+
+
+def sample_features_padded(cells, points, cfg: SamplerConfig):
+    """Slot-resident sample_features_with_derivs.
+
+    Returns (out_p, occ, positions): out_p (1+2d, C, QP) in bin-slot
+    order, occ the (QP,) 0/1 real-slot mask, positions the (Q,) slot of
+    each query.  ``out_p[:, :, positions]`` == the query-ordered API.
+    """
+    if points.ndim != 2 or points.shape[-1] != cfg.dim:
+        raise ValueError(f"points must be (Q, {cfg.dim}): got {points.shape}")
+    fused = make_fused_padded(cfg, cells.shape[0], tuple(cells.shape[2:]))
+    return fused(cells, points)
+
+
 def sample_features_with_derivs(cells, points, cfg: SamplerConfig):
     """(1+2*dim, C, Q): multicell-summed value, jacobian, diagonal Hessian.
 

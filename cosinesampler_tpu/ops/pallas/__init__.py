@@ -120,10 +120,68 @@ def _fused_bwd(g, points, in_spatial, cfg, n_cells):
                             interpret=INTERPRET)
 
 
+def _fused_padded(cells, points, cfg):
+    """Slot-resident fused blend: (out_p, occ, positions) or None.
+
+    Only the v5 windowed generations have a padded variant; every other
+    route returns None and the caller (ops/fused.py) falls back to the
+    regular kernel with an identity slot plan."""
+def _padded_route(cfg, cells_shape, n_queries):
+    """Which padded kernel handles this config, respecting the exact
+    _fused_blend priority order (a None step means that generation wins
+    the route but has no padded variant -> identity-plan fallback)."""
+    if fused2w.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries):
+        return fused2w
+    if fused2d.supports(cfg, cells_shape, _VMEM_BUDGET):
+        return None
+    if fused3w.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries):
+        return fused3w
+    if fused3s.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries):
+        return None
+    if fused3b.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries):
+        return fused3b
+    return None
+
+
+_PADDED_FNS = {fused2w: (fused2w.pallas_fused2w_blend_padded,
+                         fused2w.pallas_fused2w_bwd_padded),
+               fused3w: (fused3w.pallas_fused3w_blend_padded,
+                         fused3w.pallas_fused3w_bwd_padded),
+               fused3b: (fused3b.pallas_fused3b_blend_padded,
+                         fused3b.pallas_fused3b_bwd_padded)}
+
+
+def _fused_padded(cells, points, cfg):
+    """Slot-resident fused blend: (out_p, occ, positions) or None.
+
+    Only the v5 windowed / v4 bricked generations have padded variants;
+    every other route returns None and the caller (ops/fused.py) falls
+    back to the regular kernel with an identity slot plan."""
+    if _f64(cells, points) or _strict_mixed_align(cfg):
+        return None
+    mod = _padded_route(cfg, cells.shape, points.shape[0])
+    if mod is None:
+        return None
+    return _PADDED_FNS[mod][0](cells, points, cfg, interpret=INTERPRET)
+
+
+def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells):
+    if _f64(g_p, points) or _strict_mixed_align(cfg):
+        return None
+    shape = (n_cells, g_p.shape[1], *in_spatial)
+    mod = _padded_route(cfg, shape, points.shape[0])
+    if mod is None:
+        return None
+    return _PADDED_FNS[mod][1](g_p, points, tuple(in_spatial), cfg, n_cells,
+                               interpret=INTERPRET)
+
+
 for _dim in (2, 3):
     register_backend("pallas", _dim, blend=_blend, splat=_splat)
     register_backend("pallas", _dim, fused_blend=_fused_blend,
                      fused_bwd=_fused_bwd)
+    register_backend("pallas", _dim, fused_padded=_fused_padded,
+                     fused_padded_bwd=_fused_padded_bwd)
 
 __all__ = ["pallas_blend", "pallas_splat", "pallas_fused_blend",
            "pallas_fused_bwd", "INTERPRET"]

@@ -205,9 +205,13 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
-def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
-                         q_block: int = V2W_Q_BLOCK, interpret: bool = False):
-    """(5, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed 2D)."""
+def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
+                                q_block: int = V2W_Q_BLOCK,
+                                interpret: bool = False):
+    """Slot-resident variant: (out_p (5, C, QP), occ (QP,), positions (Q,)).
+
+    Padding slots are zero and flagged by ``occ``; see
+    fused3w.pallas_fused3w_blend_padded for the rationale."""
     n, c, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
@@ -267,8 +271,20 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
       bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
       hn.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
       offsets, wins)
-    return out[:, positions].reshape(5, c, q).astype(
-        jnp.promote_types(cells.dtype, points.dtype))
+    dtype = jnp.promote_types(cells.dtype, points.dtype)
+    return out.reshape(5, c, qp).astype(dtype), occ, positions
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
+                         q_block: int = V2W_Q_BLOCK, interpret: bool = False):
+    """(5, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed 2D)."""
+    c = cells.shape[1]
+    q = points.shape[0]
+    out_p, _, positions = pallas_fused2w_blend_padded(
+        cells, points, cfg, q_block=q_block, interpret=interpret)
+    qp = out_p.shape[-1]
+    return out_p.reshape(5 * c, qp)[:, positions].reshape(5, c, q)
 
 
 def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
@@ -329,14 +345,13 @@ def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
             cp2.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "interpret"))
-def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
-                       cfg: SamplerConfig, n_cells: int,
-                       q_block: int = V2W_Q_BLOCK, interpret: bool = False):
-    """Cells-cotangent of pallas_fused2w_blend: (N, C, H, W)."""
+def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
+                     n_cells: int, q_block: int, interpret: bool, out_dtype):
+    """Cells-cotangent given the cotangent already in slot space.
+
+    ``gq``: (5*C, QP) f32, slot-ordered per the _ybin layout of ``points``
+    (padding slots are masked in-kernel via occ)."""
     h, w = in_spatial
-    k_rows, c, q = g.shape
     n = n_cells
     npad = _npad(n)
     wp = _xpad(w)
@@ -344,6 +359,8 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     gy = rows - 2
     nby, hp = _geom2(h, gy)
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    k_rows = 5
+    c = gq.shape[0] // k_rows
     nblocks = qp // q_block
 
     pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
@@ -351,8 +368,6 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    gq = scatter_to_slots(
-        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     wins0 = jnp.zeros((nby, c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
@@ -399,5 +414,36 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
       offsets, gq, wins0)
     acc = _scatter_windows2(wins, nby, gy, rows, c * npad, hp, wp)
     acc = acc.reshape(c, npad, hp, wp)[:, :n, 2:2 + h, :w]
-    return acc.transpose(1, 0, 2, 3).astype(
-        jnp.promote_types(g.dtype, points.dtype))
+    return acc.transpose(1, 0, 2, 3).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
+                       cfg: SamplerConfig, n_cells: int,
+                       q_block: int = V2W_Q_BLOCK, interpret: bool = False):
+    """Cells-cotangent of pallas_fused2w_blend: (N, C, H, W)."""
+    h, w = in_spatial
+    k_rows, c, q = g.shape
+    gy = _win_rows(_xpad(w)) - 2
+    positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    gq = scatter_to_slots(
+        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
+    return _bwd_from_slots2(gq, points, in_spatial, cfg, n_cells, q_block,
+                            interpret,
+                            jnp.promote_types(g.dtype, points.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused2w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
+                              cfg: SamplerConfig, n_cells: int,
+                              q_block: int = V2W_Q_BLOCK,
+                              interpret: bool = False):
+    """Cells-cotangent taking the slot-space (5, C, QP) cotangent of
+    pallas_fused2w_blend_padded directly — no scatter pass."""
+    k_rows, c, qp = g_p.shape
+    gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
+    return _bwd_from_slots2(gq, points, in_spatial, cfg, n_cells, q_block,
+                            interpret,
+                            jnp.promote_types(g_p.dtype, points.dtype))

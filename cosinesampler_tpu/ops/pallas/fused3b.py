@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
-from .fused3d import _ROWS_3D
+from .fused3d import _ROW_FACTORS, _ROWS_3D, _XY_PAIRS
 from .fused3s import _z_weights
 from .prep import (FUSED_PADDING_MODES, axis_transform, bin_base,
                    cell_weights, npad as _npad)
@@ -324,12 +324,16 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                     v = v + (b1[i][row * cn3:(row + 1) * cn3]
                              * hyl[j][row][None, :])
                 v = v.reshape(3, c, n, q_block)           # layout-free
-                for r, (kx, ky, kz) in enumerate(_ROWS_3D):
-                    wyx = wyw[ky][j] * wx[kx][i]            # (N, Qb)
-                    acc = (wz[kz][0] * wyx)[None] * v[0]
-                    acc = acc + (wz[kz][1] * wyx)[None] * v[1]
-                    acc = acc + (wz[kz][2] * wyx)[None] * v[2]
-                    rows_acc[r] = rows_acc[r] + acc
+                # factored blend (see fused3d._ROW_FACTORS): z-reduce the
+                # 3 slabs once per z-order, share the 5 (kx, ky) pair
+                # products — ~3x fewer VPU-wide ops than per-row FMAs
+                zv = [v[0] * wz[kz][0][None]
+                      + v[1] * wz[kz][1][None]
+                      + v[2] * wz[kz][2][None] for kz in range(3)]
+                pair = [(wyw[ky][j] * wx[kx][i])[None]
+                        for (kx, ky) in _XY_PAIRS]          # (1, N, Qb)
+                for r, (pi, kz) in enumerate(_ROW_FACTORS):
+                    rows_acc[r] = rows_acc[r] + pair[pi] * zv[kz]
         out = jnp.concatenate(
             [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
         out_ref[:] = out * mask
@@ -341,10 +345,14 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy",
                                              "interpret"))
-def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
-                         q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                         interpret: bool = False):
-    """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
+def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
+                                q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                                interpret: bool = False):
+    """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
+
+    At the 1M-point sweep the query-ordered API's output gather and
+    cotangent scatter cost ~5-6 ms each (see _brick_bin); slot-resident
+    consumers (models/pinn.py slot_resident=True) skip both."""
     n, c, d, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)
@@ -405,8 +413,22 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
       z0n.reshape(nblocks, 1, 1), y0n.reshape(nblocks, 1, 1),
       first.reshape(nblocks, 1, 1), hn.reshape(nblocks, 1, 1),
       parity.reshape(nblocks, 1, 1), offsets, vol)
-    return out[:, positions].reshape(7, c, q).astype(
-        jnp.promote_types(cells.dtype, points.dtype))
+    dtype = jnp.promote_types(cells.dtype, points.dtype)
+    return out.reshape(7, c, qp).astype(dtype), occ, positions
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy",
+                                             "interpret"))
+def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
+                         q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                         interpret: bool = False):
+    """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
+    c = cells.shape[1]
+    q = points.shape[0]
+    out_p, _, positions = pallas_fused3b_blend_padded(
+        cells, points, cfg, q_block=q_block, gy=gy, interpret=interpret)
+    qp = out_p.shape[-1]
+    return out_p.reshape(7 * c, qp)[:, positions].reshape(7, c, q)
 
 
 def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
@@ -456,13 +478,16 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             rows_u = [jnp.zeros((cn3, q_block), jnp.float32)
                       for _ in range(wy_rows)]
             for j in range(3):
-                ps = []
-                for k in range(3):
-                    pcn = jnp.zeros((c, n, q_block), jnp.float32)
-                    for r, (kx, ky, kz) in enumerate(_ROWS_3D):
-                        coeff = wz[kz][k] * wyw[ky][j] * wx[kx][i]
-                        pcn = pcn + coeff[None, :, :] * gv[r][:, None, :]
-                    ps.append(pcn)
+                # factored cotangent panel (transpose of the fwd blend):
+                # 5 pair products + 7 row FMAs + 9 z-spread FMAs instead
+                # of 3 slabs x 21 per-row coefficient FMAs
+                pair = [(wyw[ky][j] * wx[kx][i]) for (kx, ky) in _XY_PAIRS]
+                s = [jnp.zeros((c, n, q_block), jnp.float32)
+                     for _ in range(3)]
+                for r, (pi, kz) in enumerate(_ROW_FACTORS):
+                    s[kz] = s[kz] + pair[pi][None] * gv[r][:, None, :]
+                ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
+                      + s[2] * wz[2][k][None] for k in range(3)]
                 pk = jnp.stack(ps, axis=0).reshape(cn3, q_block)
                 for row in range(wy_rows):
                     rows_u[row] = rows_u[row] + pk * hyl[j][row][None, :]
@@ -486,21 +511,22 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             cp2.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "gy", "interpret"))
-def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
-                       cfg: SamplerConfig, n_cells: int,
-                       q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                       interpret: bool = False):
-    """Cells-cotangent of pallas_fused3b_blend: (N, C, D, H, W)."""
+def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
+                      n_cells: int, q_block: int, gy: int, interpret: bool,
+                      out_dtype):
+    """Cells-cotangent given the cotangent already in slot space.
+
+    ``gq``: (7*C, QP) f32, slot-ordered per the _brick_bin layout of
+    ``points`` (padding slots are masked in-kernel via occ)."""
     d, h, w = in_spatial
-    k_rows, c, q = g.shape
     n = n_cells
     npad = _npad(n)
     nby, _, _, hp = _geom(d, h, gy)
     wp = _wpad(w)
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
+    k_rows = 7
+    c = gq.shape[0] // k_rows
     nblocks = qp // q_block
 
     pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
@@ -508,8 +534,6 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    gq = scatter_to_slots(
-        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     vol0 = jnp.zeros((hp, d + 4, c * npad, wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
@@ -556,5 +580,37 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, vol0)
     acc = acc.reshape(hp, d + 4, c, npad, wp)[2:2 + h, 2:2 + d, :, :n, :w]
-    return acc.transpose(3, 2, 1, 0, 4).astype(
-        jnp.promote_types(g.dtype, points.dtype))
+    return acc.transpose(3, 2, 1, 0, 4).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "gy", "interpret"))
+def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
+                       cfg: SamplerConfig, n_cells: int,
+                       q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                       interpret: bool = False):
+    """Cells-cotangent of pallas_fused3b_blend: (N, C, D, H, W)."""
+    d, h, w = in_spatial
+    k_rows, c, q = g.shape
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, gy)
+    gq = scatter_to_slots(
+        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
+    return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
+                             gy, interpret,
+                             jnp.promote_types(g.dtype, points.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "gy", "interpret"))
+def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
+                              cfg: SamplerConfig, n_cells: int,
+                              q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                              interpret: bool = False):
+    """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
+    pallas_fused3b_blend_padded directly — no scatter pass."""
+    k_rows, c, qp = g_p.shape
+    gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
+    return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
+                             gy, interpret,
+                             jnp.promote_types(g_p.dtype, points.dtype))

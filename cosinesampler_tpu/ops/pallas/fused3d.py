@@ -38,6 +38,14 @@ V3_Q_BLOCK = 256
 _ROWS_3D = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
             (2, 0, 0), (0, 2, 0), (0, 0, 2))
 
+# (kx, ky) pairs the 7 output rows project onto; _ROWS_3D[r] -> (pair, kz).
+# The factored blend (fused3w/fused3b) computes the 5 shared pair products
+# once and groups rows by z-order, cutting the per-panel VPU-wide op count
+# ~3x vs per-row coefficient FMAs.
+_XY_PAIRS = ((0, 0), (1, 0), (0, 1), (2, 0), (0, 2))
+_ROW_FACTORS = tuple(
+    (_XY_PAIRS.index((kx, ky)), kz) for (kx, ky, kz) in _ROWS_3D)
+
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int) -> bool:
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:

@@ -56,7 +56,7 @@ from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
 from .fused3b import _brick_bin, _geom, _pad_volume, scatter_to_slots
-from .fused3d import _ROWS_3D
+from .fused3d import _ROW_FACTORS, _ROWS_3D, _XY_PAIRS
 from .fused3s import _z_weights
 from .prep import (FUSED_PADDING_MODES, axis_transform, cell_weights,
                    npad as _npad)
@@ -193,12 +193,6 @@ def _scatter_windows(wins, nbz, nby, gy, rows, cn, hp, wp):
     return out[:, :, :hp]
 
 
-# (kx, ky) pairs the 7 output rows project onto; _ROWS_3D[r] -> (pair, kz)
-_XY_PAIRS = ((0, 0), (1, 0), (0, 1), (2, 0), (0, 2))
-_ROW_FACTORS = tuple(
-    (_XY_PAIRS.index((kx, ky)), kz) for (kx, ky, kz) in _ROWS_3D)
-
-
 def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                           hasv_ref, bbn_ref, first_ref, hn_ref, par_ref,
                           off_ref, win_ref, out_ref, scratch, sem,
@@ -276,9 +270,18 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
-def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
-                         q_block: int = V3W_Q_BLOCK, interpret: bool = False):
-    """(7, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed)."""
+def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
+                                q_block: int = V3W_Q_BLOCK,
+                                interpret: bool = False):
+    """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
+
+    ``out_p[:, :, positions] == pallas_fused3w_blend(...)``; padding slots
+    are zero and flagged by ``occ``.  Consumers that keep the whole
+    training step in slot space (models/pinn.py slot_resident=True) skip
+    the per-step (7*C, Q) output gather here AND the matching cotangent
+    scatter in the backward — two of the large random-access passes a
+    100k-point step otherwise pays (1M-element random gathers measure
+    ~5-6 ms each on TPU; see fused3b._brick_bin)."""
     n, c, d, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)
@@ -342,8 +345,20 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
       bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
       hn.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
       offsets, wins)
-    return out[:, positions].reshape(7, c, q).astype(
-        jnp.promote_types(cells.dtype, points.dtype))
+    dtype = jnp.promote_types(cells.dtype, points.dtype)
+    return out.reshape(7, c, qp).astype(dtype), occ, positions
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
+                         q_block: int = V3W_Q_BLOCK, interpret: bool = False):
+    """(7, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed)."""
+    c = cells.shape[1]
+    q = points.shape[0]
+    out_p, _, positions = pallas_fused3w_blend_padded(
+        cells, points, cfg, q_block=q_block, interpret=interpret)
+    qp = out_p.shape[-1]
+    return out_p.reshape(7 * c, qp)[:, positions].reshape(7, c, q)
 
 
 def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
@@ -389,13 +404,17 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             for i in range(3):
                 pos = jnp.where(px[i] >= 0, rb + px[i], -1)
                 hit = (iota == pos).astype(jnp.float32)
-                ps = []
-                for k in range(3):
-                    p = jnp.zeros((c, n, q_block), jnp.float32)
-                    for r, (kx, ky, kz) in enumerate(_ROWS_3D):
-                        coeff = wz[kz][k] * wy[ky][j] * wx[kx][i]
-                        p = p + coeff[None, :, :] * gv[r][:, None, :]
-                    ps.append(p)
+                # Factored cotangent panel (transpose of the fwd blend):
+                # group the 7 output rows by their shared (kx, ky) pair
+                # product, then by z-order — 5 + 7 + 9 VPU-wide ops
+                # instead of the naive 3 slabs x 21 coefficient FMAs.
+                pair = [(wy[ky][j] * wx[kx][i]) for (kx, ky) in _XY_PAIRS]
+                s = [jnp.zeros((c, n, q_block), jnp.float32)
+                     for _ in range(3)]
+                for r, (pi, kz) in enumerate(_ROW_FACTORS):
+                    s[kz] = s[kz] + pair[pi][None] * gv[r][:, None, :]
+                ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
+                      + s[2] * wz[2][k][None] for k in range(3)]
                 pk = jnp.stack(ps, axis=0).reshape(3 * c * n, q_block)
                 contrib = contrib + mxu.onehot_dot(
                     pk, hit, (((1,), (1,)), ((), ())))        # (3*C*N, K)
@@ -412,14 +431,13 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             cp2.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "interpret"))
-def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
-                       cfg: SamplerConfig, n_cells: int,
-                       q_block: int = V3W_Q_BLOCK, interpret: bool = False):
-    """Cells-cotangent of pallas_fused3w_blend: (N, C, D, H, W)."""
+def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
+                    q_block: int, interpret: bool, out_dtype):
+    """Cells-cotangent given the cotangent already in slot space.
+
+    ``gq``: (K_rows*C, QP) f32, slot-ordered per the _brick_bin layout of
+    ``points`` (padding slots are masked in-kernel via occ)."""
     d, h, w = in_spatial
-    k_rows, c, q = g.shape
     n = n_cells
     npad = _npad(n)
     wp = _xpad(w)
@@ -428,6 +446,9 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     nby, nbz, nbins, hp = _geom(d, h, gy)
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
+    k_rows_c = gq.shape[0]
+    c = k_rows_c // 7
+    k_rows = 7
     nblocks = qp // q_block
 
     pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
@@ -435,8 +456,6 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    gq = scatter_to_slots(
-        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     wins0 = jnp.zeros((nbins, 3 * c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
@@ -484,5 +503,37 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
       offsets, gq, wins0)
     acc = _scatter_windows(wins, nbz, nby, gy, rows, c * npad, hp, wp)
     acc = acc.reshape(d + 4, c, npad, hp, wp)[2:2 + d, :, :n, 2:2 + h, :w]
-    return acc.transpose(2, 1, 0, 3, 4).astype(
-        jnp.promote_types(g.dtype, points.dtype))
+    return acc.transpose(2, 1, 0, 3, 4).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
+                       cfg: SamplerConfig, n_cells: int,
+                       q_block: int = V3W_Q_BLOCK, interpret: bool = False):
+    """Cells-cotangent of pallas_fused3w_blend: (N, C, D, H, W)."""
+    d, h, w = in_spatial
+    k_rows, c, q = g.shape
+    rows = _win_rows(_xpad(w))
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, rows - 2)
+    gq = scatter_to_slots(
+        g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
+    return _bwd_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
+                           interpret,
+                           jnp.promote_types(g.dtype, points.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "interpret"))
+def pallas_fused3w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
+                              cfg: SamplerConfig, n_cells: int,
+                              q_block: int = V3W_Q_BLOCK,
+                              interpret: bool = False):
+    """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
+    pallas_fused3w_blend_padded directly — no scatter pass."""
+    k_rows, c, qp = g_p.shape
+    gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
+    return _bwd_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
+                           interpret,
+                           jnp.promote_types(g_p.dtype, points.dtype))
