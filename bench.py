@@ -195,10 +195,13 @@ def _bench_large_sweep():
     reps = 10
     out = {}
 
+    # isolated passes use the slot-resident (padded) kernel API — the one
+    # the train step below actually runs; the query-ordered wrappers add a
+    # 1M-point output gather / cotangent scatter on top (BENCHMARKS.md)
     @jax.jit
     def many_fwd(p, c):
         def body(p, _):
-            o = fused3b.pallas_fused3b_blend(c, p, cfg)
+            o, _, _ = fused3b.pallas_fused3b_blend_padded(c, p, cfg)
             return p + 1e-30 * o[0, 0, 0], o[0, 0, 0]
         carry, ticks = jax.lax.scan(body, p, None, length=reps)
         return ticks.sum() + carry.sum()
@@ -207,15 +210,18 @@ def _bench_large_sweep():
     sec = min(_timed(many_fwd, pts * (0.999 - 1e-4 * i), cells)
               for i in range(3)) / reps
     out["fwd_mpts"] = 1.0 / sec
-    log(f"large sweep v4 fwd: {sec * 1e3:.0f} ms = {out['fwd_mpts']:.1f} "
-        "Mpts/s")
+    log(f"large sweep v4 fwd (slot): {sec * 1e3:.0f} ms = "
+        f"{out['fwd_mpts']:.1f} Mpts/s")
 
-    g = jnp.asarray(rng.rand(7, 4, 1_000_000), jnp.float32)
+    nbins = fused3b._geom(128, 128, fused3b.V3B_GY)[2]
+    qp = (-(-1_000_000 // fused3b.V3B_Q_BLOCK) + nbins) * fused3b.V3B_Q_BLOCK
+    g = jnp.asarray(rng.rand(7, 4, qp), jnp.float32)
 
     @jax.jit
     def many_bwd(gg, p):
         def body(gg, _):
-            acc = fused3b.pallas_fused3b_bwd(gg, p, (128, 128, 128), cfg, 16)
+            acc = fused3b.pallas_fused3b_bwd_padded(gg, p, (128, 128, 128),
+                                                    cfg, 16)
             return gg + 1e-30 * acc[0, 0, 0, 0, 0], acc[0, 0, 0, 0, 0]
         carry, ticks = jax.lax.scan(body, gg, None, length=reps)
         return ticks.sum() + carry.sum()
@@ -225,7 +231,7 @@ def _bench_large_sweep():
         sec = min(_timed(many_bwd, g * (0.999 - 1e-4 * i), pts)
                   for i in range(3)) / reps
         out["bwd_mpts"] = 1.0 / sec
-        log(f"large sweep v4 bwd: {sec * 1e3:.0f} ms = "
+        log(f"large sweep v4 bwd (slot): {sec * 1e3:.0f} ms = "
             f"{out['bwd_mpts']:.1f} Mpts/s")
     except Exception as e:  # pragma: no cover - infra dependent
         log(f"large sweep bwd failed ({type(e).__name__})")

@@ -36,7 +36,7 @@ from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
 from .fused2d import _ROWS_2D
-from .fused3b import scatter_to_slots
+from .fused3b import _occ_mask, scatter_to_slots
 from .fused3w import _win_rows, _xpad, _x_prep, _y_prep
 from .prep import FUSED_PADDING_MODES, bin_base, npad as _npad
 
@@ -97,8 +97,7 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     positions = offs[keys] + rank_at
 
     qp = (pl.cdiv(q, q_block) + nby) * q_block
-    occ = jnp.zeros((qp,), jnp.float32).at[positions].set(
-        1.0, unique_indices=True)
+    occ = _occ_mask(offs, counts, qp)
     nblocks = qp // q_block
     start_blocks = offs // q_block
     bidx = jnp.arange(nblocks, dtype=jnp.int32)
