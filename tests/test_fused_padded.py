@@ -131,6 +131,28 @@ def test_v3b_padded_bwd_matches_bwd():
     np.testing.assert_array_equal(got, want)
 
 
+def test_occ_mask_matches_scatter():
+    """_occ_mask (boundary scatters + cumsum) == the per-query scatter it
+    replaced, including empty bins and a full last bin."""
+    from cosinesampler_tpu.ops.pallas.fused3b import _occ_mask
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        nbins = rng.randint(1, 9)
+        counts = rng.randint(0, 7, size=nbins)
+        if trial == 0:
+            counts[:] = 0
+        q_block = 4
+        padded = ((counts + q_block - 1) // q_block) * q_block
+        offs = np.cumsum(padded) - padded
+        qp = int(padded.sum()) + (q_block if trial % 3 else 0)
+        want = np.zeros(qp, np.float32)
+        for b in range(nbins):
+            want[offs[b]:offs[b] + counts[b]] = 1.0
+        got = _occ_mask(jnp.asarray(offs, jnp.int32),
+                        jnp.asarray(counts, jnp.int32), qp)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_api_identity_plan_fallback():
     """backend=xla has no padded kernel: identity plan, exact parity."""
     cfg = SamplerConfig(dim=2, backend="xla")
