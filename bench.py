@@ -131,7 +131,7 @@ def _kernel_roofline(params, pts, cfg, generation, reps=50):
     meaningful occupancy number is achieved MACs vs the bf16 MXU peak
     (utils/profiling.mxu_roofline).
     """
-    from cosinesampler_tpu.ops.fused import sample_features_with_derivs
+    from cosinesampler_tpu.ops.fused import sample_features_padded
     from cosinesampler_tpu.utils.profiling import (V5E_HBM_GBPS,
                                                    fused_gather_macs,
                                                    mxu_roofline)
@@ -139,9 +139,11 @@ def _kernel_roofline(params, pts, cfg, generation, reps=50):
     @jax.jit
     def many(c, p):
         def body(carry, _):
-            out = sample_features_with_derivs(c, carry, cfg.sampler)
+            # slot API: the kernel pass the train step runs, without the
+            # query-order output gather polluting the occupancy number
+            out, _, _ = sample_features_padded(c, carry, cfg.sampler)
             # serialize: next points depend (non-foldably) on this output
-            carry = carry + 1e-30 * out[0, 0, :, None]
+            carry = carry + 1e-30 * out[0, 0, :p.shape[0], None]
             return carry, out[0, 0, 0]
         carry, vals = jax.lax.scan(body, p, None, length=reps)
         return vals.sum() + carry.sum()

@@ -18,8 +18,10 @@ This generation applies the fused3w windowing to 2D:
    elision, then an XLA overlap-add folds them back (fused3w pattern,
    minus the z axis).
 
-Scope: dim=2, padding_mode in (zeros, border), shared query points.
-Reflection needs the 4-shift widened patch -> stays on fused2d.
+Scope: dim=2, any padding mode (zeros / border / reflection), shared
+query points.  Reflection uses the widened 4-shift patch: window rows
+grow to gy + 3 and the per-axis corner loops run over 4 shifts
+(prep.n_shifts), with binning on the FOLDED y coordinate.
 """
 
 from __future__ import annotations
@@ -37,8 +39,9 @@ from ..coords import multicell_offsets
 from . import mxu
 from .fused2d import _ROWS_2D
 from .fused3b import _occ_mask, scatter_to_slots
-from .fused3w import _win_rows, _xpad, _x_prep, _y_prep
-from .prep import FUSED_PADDING_MODES, bin_base, npad as _npad
+from .fused3w import _win_geom, _x_prep, _y_prep
+from .prep import (FUSED_PADDING_MODES_WIDE, bin_base, front_pad, n_shifts,
+                   npad as _npad)
 
 V2W_Q_BLOCK = 512
 V2W_MIN_Q = 2048
@@ -46,26 +49,24 @@ _WIN_HBM_BUDGET = 1 << 30
 _MIN_Q_PER_BIN = 8
 
 
-def _geom2(h: int, gy: int):
+def _geom2(h: int, gy: int, fp: int = 2):
     nby = -(-(h + 2) // gy)
-    return nby, nby * gy + 2          # (nbins, padded H)
+    return nby, nby * gy + fp         # (nbins, padded H)
 
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None) -> bool:
-    if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES:
+    if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, h, w = cells_shape
-    wp = _xpad(w)
-    rows = _win_rows(wp)
-    gy = rows - 2
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     k = rows * wp
     cn = _npad(n) * c
     if 2 * cn * k * 4 > vmem_budget:                # double-buffer scratch
         return False
     if mxu.EXACT_PASSES * cn * k * 2 > vmem_budget:
         return False
-    nby, hp = _geom2(h, gy)
+    nby, hp = _geom2(h, gy, fp)
     if nby * cn * k * 4 > _WIN_HBM_BUDGET:
         return False
     if n_queries is not None and n_queries < max(
@@ -108,12 +109,13 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     return positions, occ, y0_block, hasv, qp
 
 
-def _pad_grid(cells, h, w, hp, wp):
-    """(N,C,H,W) -> zero-padded (C*N, Hp, Wp) layout."""
+def _pad_grid(cells, h, w, hp, wp, fp=2):
+    """(N,C,H,W) -> zero-padded (C*N, Hp, Wp) layout; texel row t sits at
+    padded t + fp (fp = 3 absorbs reflection's shift_lo = -1 corner)."""
     n, c = cells.shape[:2]
     cells_f = cells.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
         c * n, h, w)
-    return jnp.pad(cells_f, ((0, 0), (2, hp - h - 2), (0, wp - w)))
+    return jnp.pad(cells_f, ((0, 0), (fp, hp - h - fp), (0, wp - w)))
 
 
 def _windows2(vol, nby, gy, rows):
@@ -128,8 +130,9 @@ def _windows2(vol, nby, gy, rows):
     return wins.reshape(nby, cn, rows * wp)
 
 
-def _scatter_windows2(wins, nby, gy, rows, cn, hp, wp):
-    """Overlap-add per-bin window cotangents back onto (C*N, Hp, Wp)."""
+def _scatter_windows2(wins, nby, gy, rows, cn, hp, wp, fp=2):
+    """Overlap-add per-bin window cotangents back onto (C*N, Hp, Wp).
+    The fp spill rows land in the next y group (gy >= fp by _win_geom)."""
     wins = wins.reshape(nby, cn, rows, wp)
     own = wins[:, :, :gy]
     ovf = wins[:, :, gy:]
@@ -137,7 +140,7 @@ def _scatter_windows2(wins, nby, gy, rows, cn, hp, wp):
     out = jnp.zeros((cn, ext, wp), wins.dtype)
     out = out.at[:, :nby * gy].add(
         own.transpose(1, 0, 2, 3).reshape(cn, nby * gy, wp))
-    ovf_p = jnp.pad(ovf, ((0, 0), (0, 0), (0, gy - 2), (0, 0)))
+    ovf_p = jnp.pad(ovf, ((0, 0), (0, 0), (0, gy - fp), (0, 0)))
     out = out.at[:, gy:gy + nby * gy].add(
         ovf_p.transpose(1, 0, 2, 3).reshape(cn, nby * gy, wp))
     return out[:, :hp]
@@ -150,7 +153,8 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
     h, w = spatial
     c = channels
     n = n_cells
-    rows = gy + 2
+    nsh = n_shifts(cfg)
+    rows = gy + front_pad(cfg)
     k_win = rows * wp
     y0 = y0_ref[0, 0, 0]
     bbin = y0 // gy
@@ -183,9 +187,9 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
                                mxu.EXACT_PASSES)              # (C*N, K)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
         rows_acc = [jnp.zeros((c, n, q_block), jnp.float32) for _ in _ROWS_2D]
-        for j in range(3):
+        for j in range(nsh):
             rb = ry[j] * wp
-            for i in range(3):
+            for i in range(nsh):
                 pos = jnp.where(px[i] >= 0, rb + px[i], -1)
                 hit = (iota == pos).astype(jnp.float32)       # (K, Qb)
                 v = mxu.onehot_dot_terms(
@@ -214,10 +218,8 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     n, c, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
-    wp = _xpad(w)
-    rows = _win_rows(wp)
-    gy = rows - 2
-    nby, hp = _geom2(h, gy)
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
+    nby, hp = _geom2(h, gy, fp)
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
     nblocks = qp // q_block
 
@@ -227,7 +229,7 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
-    wins = _windows2(_pad_grid(cells_p, h, w, hp, wp), nby, gy, rows)
+    wins = _windows2(_pad_grid(cells_p, h, w, hp, wp, fp), nby, gy, rows)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     bb = y0 // gy
     bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
@@ -294,7 +296,8 @@ def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
     h, w = spatial
     c = channels
     n = n_cells
-    rows = gy + 2
+    nsh = n_shifts(cfg)
+    rows = gy + front_pad(cfg)
     k_win = rows * wp
     y0 = y0_ref[0, 0, 0]
     bbin = y0 // gy
@@ -318,9 +321,9 @@ def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
         contrib = jnp.zeros((c * n, k_win), jnp.float32)
-        for j in range(3):
+        for j in range(nsh):
             rb = ry[j] * wp
-            for i in range(3):
+            for i in range(nsh):
                 pos = jnp.where(px[i] >= 0, rb + px[i], -1)
                 hit = (iota == pos).astype(jnp.float32)
                 pmat = jnp.zeros((c, n, q_block), jnp.float32)
@@ -353,10 +356,8 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
     h, w = in_spatial
     n = n_cells
     npad = _npad(n)
-    wp = _xpad(w)
-    rows = _win_rows(wp)
-    gy = rows - 2
-    nby, hp = _geom2(h, gy)
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
+    nby, hp = _geom2(h, gy, fp)
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
     k_rows = 5
     c = gq.shape[0] // k_rows
@@ -411,8 +412,8 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
       y0.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, wins0)
-    acc = _scatter_windows2(wins, nby, gy, rows, c * npad, hp, wp)
-    acc = acc.reshape(c, npad, hp, wp)[:, :n, 2:2 + h, :w]
+    acc = _scatter_windows2(wins, nby, gy, rows, c * npad, hp, wp, fp)
+    acc = acc.reshape(c, npad, hp, wp)[:, :n, fp:fp + h, :w]
     return acc.transpose(1, 0, 2, 3).astype(out_dtype)
 
 
@@ -424,7 +425,7 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     """Cells-cotangent of pallas_fused2w_blend: (N, C, H, W)."""
     h, w = in_spatial
     k_rows, c, q = g.shape
-    gy = _win_rows(_xpad(w)) - 2
+    gy = _win_geom(w, cfg)[2]
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
     gq = scatter_to_slots(
         g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T

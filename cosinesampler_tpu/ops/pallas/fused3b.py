@@ -30,8 +30,10 @@ v4 removes the VMEM residency requirement:
 
 Out-of-bounds semantics match the reference CUDA bounds-check-to-zero
 (cosine_sampler_3d_kernel.cu:343-369): the x axis via the one-hot hits,
-y/z via bin-membership masks plus the cropped pad margins.  Scope is
-padding_mode='zeros' + shared query points, like fused2d/fused3s.  W is
+y/z via bin-membership masks plus the cropped pad margins.  Scope is any
+padding mode (zeros / border / reflection — the latter via the widened
+4-shift patch, prep.n_shifts, with binning on the FOLDED coordinates) +
+shared query points.  W is
 lane-padded to a 128-multiple internally (Mosaic requires the brick DMA's
 W slice to be 128-aligned); the zero pad columns are semantically inert.
 """
@@ -51,8 +53,8 @@ from ..coords import multicell_offsets
 from . import mxu
 from .fused3d import _ROW_FACTORS, _ROWS_3D, _XY_PAIRS
 from .fused3s import _z_weights
-from .prep import (FUSED_PADDING_MODES, axis_transform, bin_base,
-                   cell_weights, npad as _npad)
+from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, bin_base,
+                   cell_weights, front_pad, n_shifts, npad as _npad)
 
 V3B_Q_BLOCK = 128
 V3B_GY = 2            # y rows per bin; brick window is GY + 2 rows
@@ -70,10 +72,12 @@ _MIN_Q_PER_BIN = 2
 _ONEHOT_RANK_BYTES = 64 << 20
 
 
-def _geom(d: int, h: int, gy: int):
+def _geom(d: int, h: int, gy: int, fp: int = 2):
+    """(nby, nbz, nbins, padded H); ``fp`` is the front pad (prep.front_pad):
+    the window spans gy + fp rows, so the padded height carries fp extra."""
     nby = -(-(h + 2) // gy)
     nbz = d + 2
-    return nby, nbz, nby * nbz, nby * gy + 2   # (nby, nbz, nbins, padded H)
+    return nby, nbz, nby * nbz, nby * gy + fp
 
 
 def _wpad(w: int) -> int:
@@ -86,26 +90,28 @@ def _wpad(w: int) -> int:
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None) -> bool:
-    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES:
+    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, d, h, w = cells_shape
     n = _npad(n)
     w = _wpad(w)
-    wy = V3B_GY + 2
-    if 3 * n * c * wy * w * 4 > vmem_budget:        # brick scratch
+    fp = front_pad(cfg)
+    nsh = n_shifts(cfg)
+    wy = V3B_GY + fp
+    if nsh * n * c * wy * w * 4 > vmem_budget:      # brick scratch
         return False
-    if 3 * n * c * wy * V3B_Q_BLOCK * 4 > vmem_budget:  # stage-1 panel
+    if nsh * n * c * wy * V3B_Q_BLOCK * 4 > vmem_budget:  # stage-1 panel
         return False
-    # in-kernel x one-hot panels (3 f32 (wpad, Qb)) + the bf16 split copies
-    # of the brick rows: a degenerate very-wide-W volume can pass the
-    # gates above yet blow VMEM at runtime (see mxu.EXACT_PASSES).
+    # in-kernel x one-hot panels (nsh f32 (wpad, Qb)) + the bf16 split
+    # copies of the brick rows: a degenerate very-wide-W volume can pass
+    # the gates above yet blow VMEM at runtime (see mxu.EXACT_PASSES).
     from . import mxu
-    if 3 * w * V3B_Q_BLOCK * 4 > vmem_budget:
+    if nsh * w * V3B_Q_BLOCK * 4 > vmem_budget:
         return False
-    if mxu.EXACT_PASSES * 3 * n * c * wy * w * 2 > vmem_budget:
+    if mxu.EXACT_PASSES * nsh * n * c * wy * w * 2 > vmem_budget:
         return False
-    nby, _, nbins, hp = _geom(d, h, V3B_GY)
-    if (d + 4) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
+    nby, _, nbins, hp = _geom(d, h, V3B_GY, fp)
+    if (d + fp + 2) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
         return False
     if n_queries is not None and n_queries < _MIN_Q_PER_BIN * nbins:
         return False
@@ -222,41 +228,50 @@ def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
     """Window-local y one-hots + per-cell weights + bin-membership mask.
 
     ``start`` is the block's brick origin in the padded volume; the padded
-    row of corner j for a query with fy = floor(base) is fy + 2 + j, so
-    the window-local hit row is fy + 2 - start + j.  Queries whose fy is
-    outside the block's y group (clipped far-OOB bins) are masked.
+    row of corner j for a query with fy = floor(base) is fy + 2 + j for
+    every padding mode (texel row fy + shift_lo + j, front pad 2 -
+    shift_lo — the two cancel), so the window-local hit row is
+    fy + 2 - start + j.  Queries whose fy is outside the block's y group
+    (clipped far-OOB bins) are masked.
     """
     base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     loc = fb + 2.0 - start.astype(jnp.float32)          # (1, Qb)
     ymask = ((loc >= 0.0) & (loc <= float(gy - 1))).astype(jnp.float32)
     loci = jnp.clip(loc, 0.0, float(gy - 1)).astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (gy + 2, q_block), 0)
-    hits = [(iota == loci + j).astype(jnp.float32) for j in range(3)]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (gy + front_pad(cfg), q_block), 0)
+    hits = [(iota == loci + j).astype(jnp.float32)
+            for j in range(n_shifts(cfg))]
     return hits, cell_weights(base, ixn, scale, cfg), ymask
 
 
-def _pad_volume(cells, d, h, w, hp, wp):
-    """(N,C,D,H,W) -> zero-padded (D+4, C*N, Hp, Wp) HBM layout."""
+def _pad_volume(cells, d, h, w, hp, wp, fp: int = 2):
+    """(N,C,D,H,W) -> zero-padded (D+fp+2, C*N, Hp, Wp) HBM layout.
+
+    Texel (z, y) sits at padded (z + fp, y + fp); windows anchored at the
+    shared floor reach shift_lo = 2 - fp texels back, so the front pad
+    absorbs the widened reflection patch."""
     n, c = cells.shape[:2]
     cells_f = cells.astype(jnp.float32).transpose(2, 1, 0, 3, 4).reshape(
         d, c * n, h, w)
-    return jnp.pad(cells_f, ((2, 2), (0, 0), (2, hp - h - 2), (0, wp - w)))
+    return jnp.pad(cells_f,
+                   ((fp, 2), (0, 0), (fp, hp - h - fp), (0, wp - w)))
 
 
-def _pad_volume_yzc(cells, d, h, w, hp, wp):
-    """(N,C,D,H,W) -> zero-padded (Hp, D+4, C*N, Wp) HBM layout.
+def _pad_volume_yzc(cells, d, h, w, hp, wp, fp: int = 2):
+    """(N,C,D,H,W) -> zero-padded (Hp, D+fp+2, C*N, Wp) HBM layout.
 
-    y outermost so a brick window slice (wy_rows, 3, C*N, Wp) lands in
+    y outermost so a brick window slice (wy_rows, nsh, C*N, Wp) lands in
     VMEM with the window ROW as the leading scratch dim: the stage-2 row
-    blend then slices the stage-1 panel at (3*C*N)-row granularity —
+    blend then slices the stage-1 panel at (nsh*C*N)-row granularity —
     tile-aligned — instead of reshaping to a 5D array whose (wy_rows, Wp)
     minor dims pad 4 sublanes to 8 (a full relayout per panel)."""
     n, c = cells.shape[:2]
     cells_f = cells.astype(jnp.float32).transpose(3, 2, 1, 0, 4).reshape(
         h, d, c * n, w)
     return jnp.pad(cells_f,
-                   ((2, hp - h - 2), (2, 2), (0, 0), (0, wp - w)))
+                   ((fp, hp - h - fp), (fp, 2), (0, 0), (0, wp - w)))
 
 
 def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
@@ -264,10 +279,12 @@ def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
     lane-padded width ``wp`` >= size (pad rows never match in-bounds
     corner indices, so they read zeros / receive cropped scatters)."""
     base, ixn, scale = axis_transform(coord, size, cfg, off_col)
+    lo = 2 - front_pad(cfg)
     fb = jnp.floor(base)
-    fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
+    fbi = jnp.clip(fb, -4.0, float(size) + 3.0).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (wp, q_block), 0)
-    hits = [(iota == fbi + j).astype(jnp.float32) for j in range(3)]
+    hits = [(iota == fbi + (lo + j)).astype(jnp.float32)
+            for j in range(n_shifts(cfg))]
     return hits, cell_weights(base, ixn, scale, cfg)
 
 
@@ -279,7 +296,8 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     d, h, w = spatial
     c = channels
     n = n_cells
-    wy_rows = gy + 2
+    nsh = n_shifts(cfg)
+    wy_rows = gy + front_pad(cfg)
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
     p = par_ref[0, 0, 0]
@@ -292,11 +310,11 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     # last real block has hn=0 and starts nothing, and padding blocks skip
     # the wait entirely — at the 128^3 sweep they are ~half the grid, and
     # each skipped wait is a serialized 393 KB brick copy.
-    cn3 = 3 * c * n
+    cn3 = nsh * c * n
 
     def brick_dma(slot, zz, yy):
         return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(yy, wy_rows), pl.ds(zz, 3)],
+            vol_ref.at[pl.ds(yy, wy_rows), pl.ds(zz, nsh)],
             scratch.at[pl.ds(wy_rows * slot, wy_rows)], sem.at[slot])
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
@@ -326,25 +344,24 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         terms = mxu.split_bf16(rows, mxu.EXACT_PASSES)
         b1 = [
             mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
-            for i in range(3)
+            for i in range(nsh)
         ]                                                 # (wy_rows*cn3, Qb)
         rows_acc = [jnp.zeros((c, n, q_block), jnp.float32)
                     for _ in _ROWS_3D]
-        for j in range(3):
-            for i in range(3):
+        for j in range(nsh):
+            for i in range(nsh):
                 # stage 2 (VPU): one-hot row blend over the y window,
                 # (1, Qb) row factors broadcast over aligned 2D slices
                 v = jnp.zeros((cn3, q_block), jnp.float32)
                 for row in range(wy_rows):
                     v = v + (b1[i][row * cn3:(row + 1) * cn3]
                              * hyl[j][row][None, :])
-                v = v.reshape(3, c, n, q_block)           # layout-free
+                v = v.reshape(nsh, c, n, q_block)         # layout-free
                 # factored blend (see fused3d._ROW_FACTORS): z-reduce the
-                # 3 slabs once per z-order, share the 5 (kx, ky) pair
+                # nsh slabs once per z-order, share the 5 (kx, ky) pair
                 # products — ~3x fewer VPU-wide ops than per-row FMAs
-                zv = [v[0] * wz[kz][0][None]
-                      + v[1] * wz[kz][1][None]
-                      + v[2] * wz[kz][2][None] for kz in range(3)]
+                zv = [sum(v[k] * wz[kz][k][None] for k in range(nsh))
+                      for kz in range(3)]
                 pair = [(wyw[ky][j] * wx[kx][i])[None]
                         for (kx, ky) in _XY_PAIRS]          # (1, N, Qb)
                 for r, (pi, kz) in enumerate(_ROW_FACTORS):
@@ -371,7 +388,9 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     n, c, d, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)
-    nby, _, _, hp = _geom(d, h, gy)
+    fp = front_pad(cfg)
+    nsh = n_shifts(cfg)
+    nby, _, _, hp = _geom(d, h, gy, fp)
     wp = _wpad(w)
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
@@ -383,7 +402,7 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
-    vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp)
+    vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp, fp)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     z0n = jnp.roll(z0, -1).at[-1].set(z0[-1])
     y0n = jnp.roll(y0, -1).at[-1].set(y0[-1])
@@ -415,7 +434,7 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2 * (gy + 2), 3, c * npad, wp), jnp.float32),
+            pltpu.VMEM((2 * (gy + fp), nsh, c * npad, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -454,11 +473,12 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     d, h, w = spatial
     c = channels
     n = n_cells
-    wy_rows = gy + 2
+    nsh = n_shifts(cfg)
+    wy_rows = gy + front_pad(cfg)
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
 
-    cn3 = 3 * c * n
+    cn3 = nsh * c * n
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
@@ -468,7 +488,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         # whole blocks with real blocks first, so a deferring block's
         # successor always computes (hasv folded into sn host-side).
         cp = pltpu.make_async_copy(
-            out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, 3)],
+            out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, nsh)],
             scratch, sem_in)
 
         @pl.when(sp_ref[0, 0, 0] == 0)
@@ -486,23 +506,23 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         gv = [g[r] * mask for r in range(7)]
 
         contrib = jnp.zeros((wy_rows * cn3, wpad), jnp.float32)
-        for i in range(3):
+        for i in range(nsh):
             # stage 1 (VPU): spread the weighted cotangents over the
             # window rows with the one-hot row blend, in the row-major
             # (window row, slab, c, n) M order of the brick scratch
             rows_u = [jnp.zeros((cn3, q_block), jnp.float32)
                       for _ in range(wy_rows)]
-            for j in range(3):
+            for j in range(nsh):
                 # factored cotangent panel (transpose of the fwd blend):
-                # 5 pair products + 7 row FMAs + 9 z-spread FMAs instead
-                # of 3 slabs x 21 per-row coefficient FMAs
+                # 5 pair products + 7 row FMAs + 3*nsh z-spread FMAs
+                # instead of nsh slabs x 21 per-row coefficient FMAs
                 pair = [(wyw[ky][j] * wx[kx][i]) for (kx, ky) in _XY_PAIRS]
                 s = [jnp.zeros((c, n, q_block), jnp.float32)
                      for _ in range(3)]
                 for r, (pi, kz) in enumerate(_ROW_FACTORS):
                     s[kz] = s[kz] + pair[pi][None] * gv[r][:, None, :]
                 ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
-                      + s[2] * wz[2][k][None] for k in range(3)]
+                      + s[2] * wz[2][k][None] for k in range(nsh)]
                 pk = jnp.stack(ps, axis=0).reshape(cn3, q_block)
                 for row in range(wy_rows):
                     rows_u[row] = rows_u[row] + pk * hyl[j][row][None, :]
@@ -513,7 +533,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         @pl.when(sp_ref[0, 0, 0] == 0)
         def _():
             cp.wait()
-        scratch[...] = scratch[...] + contrib.reshape(wy_rows, 3, c * n,
+        scratch[...] = scratch[...] + contrib.reshape(wy_rows, nsh, c * n,
                                                       wpad)
 
         @pl.when(sn_ref[0, 0, 0] == 0)
@@ -536,7 +556,9 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     d, h, w = in_spatial
     n = n_cells
     npad = _npad(n)
-    nby, _, _, hp = _geom(d, h, gy)
+    fp = front_pad(cfg)
+    nsh = n_shifts(cfg)
+    nby, _, _, hp = _geom(d, h, gy, fp)
     wp = _wpad(w)
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
@@ -549,7 +571,7 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    vol0 = jnp.zeros((hp, d + 4, c * npad, wp), jnp.float32)
+    vol0 = jnp.zeros((hp, d + fp + 2, c * npad, wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
     same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
@@ -578,10 +600,10 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((hp, d + 4, c * npad, wp),
+        out_shape=jax.ShapeDtypeStruct((hp, d + fp + 2, c * npad, wp),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((gy + 2, 3, c * npad, wp), jnp.float32),
+            pltpu.VMEM((gy + fp, nsh, c * npad, wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={11: 0},
@@ -594,7 +616,8 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
       hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, vol0)
-    acc = acc.reshape(hp, d + 4, c, npad, wp)[2:2 + h, 2:2 + d, :, :n, :w]
+    acc = acc.reshape(hp, d + fp + 2, c, npad,
+                      wp)[fp:fp + h, fp:fp + d, :, :n, :w]
     return acc.transpose(3, 2, 1, 0, 4).astype(out_dtype)
 
 

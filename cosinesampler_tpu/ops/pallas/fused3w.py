@@ -38,8 +38,10 @@ contractions at K = H*W per query block.  This generation folds BOTH the
 Out-of-bounds semantics match the reference CUDA bounds-check-to-zero
 (cosine_sampler_3d_kernel.cu:343-369): x corners via masked one-hot
 positions, y/z via the zero pad margins plus bin-membership masks.  Scope
-is padding_mode='zeros' + shared query points, like the other fused
-generations.
+is any padding mode (zeros / border / reflection) + shared query points;
+reflection uses the widened 4-shift patch (prep.n_shifts): the window
+grows to 4 z-slabs x (gy+3) rows, the per-axis corner loops run over 4
+shifts, and binning is on the FOLDED coordinates (prep.bin_base).
 """
 
 from __future__ import annotations
@@ -58,8 +60,8 @@ from . import mxu
 from .fused3b import _brick_bin, _geom, _pad_volume, scatter_to_slots
 from .fused3d import _ROW_FACTORS, _ROWS_3D, _XY_PAIRS
 from .fused3s import _z_weights
-from .prep import (FUSED_PADDING_MODES, axis_transform, cell_weights,
-                   npad as _npad)
+from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, cell_weights,
+                   front_pad, n_shifts, npad as _npad)
 
 # 128 measured fastest on v5e once the blend ran relayout-free (5.7/6.2/
 # 7.3/8.4 ms at 128/256/512/1024 on the reference 3D workload,
@@ -100,16 +102,28 @@ def _win_rows(wp: int) -> int:
     return max(4, 128 // wp) if wp <= 128 else 4
 
 
+def _win_geom(w: int, cfg: SamplerConfig):
+    """(wp, rows, gy, nsh, fp) for the window layout under ``cfg``.
+
+    Window rows = gy + fp (the fp extra rows hold the corner spill past
+    the bin's own gy rows; fp = 3 for reflection's widened patch, which
+    also needs gy >= fp for the backward overlap-add, hence rows >= 2*fp).
+    """
+    fp = front_pad(cfg)
+    nsh = n_shifts(cfg)
+    wp = _xpad(w)
+    rows = max(_win_rows(wp), 2 * fp)
+    return wp, rows, rows - fp, nsh, fp
+
+
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None) -> bool:
-    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES:
+    if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, d, h, w = cells_shape
-    wp = _xpad(w)
-    rows = _win_rows(wp)
-    gy = rows - 2
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     k = rows * wp
-    cn3 = 3 * _npad(n) * c
+    cn3 = nsh * _npad(n) * c
     if cn3 * k * 4 > vmem_budget:                   # window scratch
         return False
     # bf16 split copies of the window + the (K, Qb) hit panels
@@ -117,7 +131,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
         return False
     if k * V3W_Q_BLOCK * 4 > vmem_budget:
         return False
-    nby, nbz, nbins, hp = _geom(d, h, gy)
+    nby, nbz, nbins, hp = _geom(d, h, gy, fp)
     if nbins * cn3 * k * 4 > _WIN_HBM_BUDGET:       # window array
         return False
     if n_queries is not None and n_queries < max(
@@ -127,31 +141,40 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
 
 
 def _x_prep(coord, size, cfg, off_col):
-    """Per-corner x window positions (-1 = out of bounds) + cell weights."""
+    """Per-corner x window positions (-1 = out of bounds) + cell weights.
+
+    Corner i sits at texel floor(base) + shift_lo + i (shift_lo = -1 for
+    reflection's widened patch, 0 otherwise), matching the cell_weights
+    entry order."""
     base, ixn, scale = axis_transform(coord, size, cfg, off_col)
+    lo = 2 - front_pad(cfg)
     fb = jnp.floor(base)
-    fbi = jnp.clip(fb, -3.0, float(size) + 2.0).astype(jnp.int32)
+    fbi = jnp.clip(fb, -4.0, float(size) + 3.0).astype(jnp.int32)
     px = []
-    for i in range(3):
-        ci = fbi + i
+    for i in range(n_shifts(cfg)):
+        ci = fbi + (lo + i)
         ok = (ci >= 0) & (ci <= size - 1)
         px.append(jnp.where(ok, ci, -1))
     return px, cell_weights(base, ixn, scale, cfg)
 
 
 def _y_prep(coord, size, cfg, off_col, y0, gy):
-    """Window-local y corner rows + cell weights + bin-membership mask."""
+    """Window-local y corner rows + cell weights + bin-membership mask.
+
+    Corner j's padded row is floor(base) + 2 + j for every padding mode:
+    the texel row is fb + shift_lo + j and the volume's front pad is
+    2 - shift_lo, so the two cancel.  Window-local row = that - y0."""
     base, ixn, scale = axis_transform(coord, size, cfg, off_col)
     fb = jnp.floor(base)
     loc = fb + 2.0 - y0.astype(jnp.float32)
     ymask = ((loc >= 0.0) & (loc <= float(gy - 1))).astype(jnp.float32)
     loci = jnp.clip(loc, 0.0, float(gy - 1)).astype(jnp.int32)
-    ry = [loci + j for j in range(3)]
+    ry = [loci + j for j in range(n_shifts(cfg))]
     return ry, cell_weights(base, ixn, scale, cfg), ymask
 
 
-def _windows(vol, nbins, nby, gy, rows):
-    """(D+4, C*N, Hp, Wp) -> per-bin (nbins, 3*C*N, rows*Wp) window array.
+def _windows(vol, nbins, nby, gy, rows, nsh):
+    """(D+fp+2, C*N, Hp, Wp) -> per-bin (nbins, nsh*C*N, rows*Wp) windows.
 
     The (rows, x) flattening onto lanes happens here because Mosaic cannot
     merge a (sublane, lane) pair in-kernel.
@@ -165,29 +188,30 @@ def _windows(vol, nbins, nby, gy, rows):
 
     def one(z0b, y0b):
         return jax.lax.dynamic_slice(vol, (z0b, zero, y0b, zero),
-                                     (3, cn, rows, wp))
+                                     (nsh, cn, rows, wp))
 
     wins = jax.vmap(one)(bz, by)
-    return wins.reshape(nbins, 3 * cn, rows * wp)
+    return wins.reshape(nbins, nsh * cn, rows * wp)
 
 
-def _scatter_windows(wins, nbz, nby, gy, rows, cn, hp, wp):
+def _scatter_windows(wins, nbz, nby, gy, rows, cn, hp, wp, nsh, fp):
     """Overlap-add the per-bin window cotangents back onto the padded
-    volume layout (D+4, C*N, Hp, Wp).  Fully vectorized: 3 shifted adds
-    for the z overlap, own-rows + padded-overflow adds for the y overlap.
-    """
-    d4 = nbz + 2
-    wins = wins.reshape(nbz, nby, 3, cn, rows, wp)
+    volume layout (D+fp+2, C*N, Hp, Wp).  Fully vectorized: nsh shifted
+    adds for the z overlap, own-rows + padded-overflow adds for the y
+    overlap (the fp spill rows land in the next y group; gy >= fp by
+    _win_geom construction)."""
+    d4 = nbz + fp
+    wins = wins.reshape(nbz, nby, nsh, cn, rows, wp)
     accz = jnp.zeros((d4, nby, cn, rows, wp), wins.dtype)
-    for k in range(3):           # slab k of window bz lands at padded z=bz+k
+    for k in range(nsh):         # slab k of window bz lands at padded z=bz+k
         accz = accz.at[k:k + nbz].add(wins[:, :, k])
     own = accz[:, :, :, :gy]     # rows owned by the bin
-    ovf = accz[:, :, :, gy:]     # 2 rows spilling into the next y group
+    ovf = accz[:, :, :, gy:]     # fp rows spilling into the next y group
     ext = nby * gy + gy
     out = jnp.zeros((d4, cn, ext, wp), wins.dtype)
     out = out.at[:, :, :nby * gy].add(
         own.transpose(0, 2, 1, 3, 4).reshape(d4, cn, nby * gy, wp))
-    ovf_p = jnp.pad(ovf, ((0, 0), (0, 0), (0, 0), (0, gy - 2), (0, 0)))
+    ovf_p = jnp.pad(ovf, ((0, 0), (0, 0), (0, 0), (0, gy - fp), (0, 0)))
     out = out.at[:, :, gy:gy + nby * gy].add(
         ovf_p.transpose(0, 2, 1, 3, 4).reshape(d4, cn, nby * gy, wp))
     return out[:, :, :hp]
@@ -201,7 +225,8 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     d, h, w = spatial
     c = channels
     n = n_cells
-    rows = gy + 2
+    nsh = n_shifts(cfg)
+    rows = gy + front_pad(cfg)
     k_win = rows * wp
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
@@ -236,26 +261,24 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
         terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
-                               mxu.EXACT_PASSES)              # (3*C*N, K)
+                               mxu.EXACT_PASSES)              # (nsh*C*N, K)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
         # The VPU weight blend is the 3D bottleneck (the MXU gather runs at
         # ~10% occupancy while the 2D kernel hits ~74%), so the per-panel
-        # work is factored: z-reduce the 3 slabs once per z-order (9 FMAs),
-        # apply the 5 shared (kx, ky) pair products (7 FMAs), and defer the
-        # ensemble reduction to ONE sum per row after the panel loops —
-        # 16 (C,N,Qb)-wide ops per panel instead of 28.
+        # work is factored: z-reduce the nsh slabs once per z-order, apply
+        # the 5 shared (kx, ky) pair products, and defer the ensemble
+        # reduction to ONE sum per row after the panel loops.
         rows_acc = [jnp.zeros((c, n, q_block), jnp.float32) for _ in _ROWS_3D]
-        for j in range(3):
+        for j in range(nsh):
             rb = ry[j] * wp
-            for i in range(3):
+            for i in range(nsh):
                 pos = jnp.where(px[i] >= 0, rb + px[i], -1)
                 hit = (iota == pos).astype(jnp.float32)       # (K, Qb)
                 v = mxu.onehot_dot_terms(
-                    terms, hit, (((1,), (0,)), ((), ())))     # (3*C*N, Qb)
-                v = v.reshape(3, c, n, q_block)
-                zv = [v[0] * wz[kz][0][None]
-                      + v[1] * wz[kz][1][None]
-                      + v[2] * wz[kz][2][None] for kz in range(3)]
+                    terms, hit, (((1,), (0,)), ((), ())))     # (nsh*C*N, Qb)
+                v = v.reshape(nsh, c, n, q_block)
+                zv = [sum(v[k] * wz[kz][k][None] for k in range(nsh))
+                      for kz in range(3)]
                 pair = [(wy[ky][j] * wx[kx][i])[None]
                         for (kx, ky) in _XY_PAIRS]            # (1, N, Qb)
                 for r, (pi, kz) in enumerate(_ROW_FACTORS):
@@ -285,10 +308,8 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
     n, c, d, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)
-    wp = _xpad(w)
-    rows = _win_rows(wp)
-    gy = rows - 2
-    nby, nbz, nbins, hp = _geom(d, h, gy)
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
+    nby, nbz, nbins, hp = _geom(d, h, gy, fp)
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     nblocks = qp // q_block
@@ -299,8 +320,8 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
-    vol = _pad_volume(cells_p, d, h, w, hp, wp)
-    wins = _windows(vol, nbins, nby, gy, rows)
+    vol = _pad_volume(cells_p, d, h, w, hp, wp, fp)
+    wins = _windows(vol, nbins, nby, gy, rows, nsh)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     bb = z0 * nby + y0 // gy
     bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
@@ -332,7 +353,7 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 3 * c * npad, rows * wp), jnp.float32),
+            pltpu.VMEM((2, nsh * c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -369,7 +390,8 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     d, h, w = spatial
     c = channels
     n = n_cells
-    rows = gy + 2
+    nsh = n_shifts(cfg)
+    rows = gy + front_pad(cfg)
     k_win = rows * wp
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
@@ -398,26 +420,26 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         gv = [g[r] * mask for r in range(7)]
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
-        contrib = jnp.zeros((3 * c * n, k_win), jnp.float32)
-        for j in range(3):
+        contrib = jnp.zeros((nsh * c * n, k_win), jnp.float32)
+        for j in range(nsh):
             rb = ry[j] * wp
-            for i in range(3):
+            for i in range(nsh):
                 pos = jnp.where(px[i] >= 0, rb + px[i], -1)
                 hit = (iota == pos).astype(jnp.float32)
                 # Factored cotangent panel (transpose of the fwd blend):
                 # group the 7 output rows by their shared (kx, ky) pair
-                # product, then by z-order — 5 + 7 + 9 VPU-wide ops
-                # instead of the naive 3 slabs x 21 coefficient FMAs.
+                # product, then by z-order — 5 + 7 + 3*nsh VPU-wide ops
+                # instead of the naive nsh slabs x 21 coefficient FMAs.
                 pair = [(wy[ky][j] * wx[kx][i]) for (kx, ky) in _XY_PAIRS]
                 s = [jnp.zeros((c, n, q_block), jnp.float32)
                      for _ in range(3)]
                 for r, (pi, kz) in enumerate(_ROW_FACTORS):
                     s[kz] = s[kz] + pair[pi][None] * gv[r][:, None, :]
                 ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
-                      + s[2] * wz[2][k][None] for k in range(3)]
-                pk = jnp.stack(ps, axis=0).reshape(3 * c * n, q_block)
+                      + s[2] * wz[2][k][None] for k in range(nsh)]
+                pk = jnp.stack(ps, axis=0).reshape(nsh * c * n, q_block)
                 contrib = contrib + mxu.onehot_dot(
-                    pk, hit, (((1,), (1,)), ((), ())))        # (3*C*N, K)
+                    pk, hit, (((1,), (1,)), ((), ())))        # (nsh*C*N, K)
         @pl.when(sp_ref[0, 0, 0] == 0)
         def _():
             cp.wait()
@@ -440,10 +462,8 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
     d, h, w = in_spatial
     n = n_cells
     npad = _npad(n)
-    wp = _xpad(w)
-    rows = _win_rows(wp)
-    gy = rows - 2
-    nby, nbz, nbins, hp = _geom(d, h, gy)
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
+    nby, nbz, nbins, hp = _geom(d, h, gy, fp)
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
     k_rows_c = gq.shape[0]
@@ -456,7 +476,7 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    wins0 = jnp.zeros((nbins, 3 * c * npad, rows * wp), jnp.float32)
+    wins0 = jnp.zeros((nbins, nsh * c * npad, rows * wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
     same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
@@ -485,10 +505,10 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nbins, 3 * c * npad, rows * wp),
+        out_shape=jax.ShapeDtypeStruct((nbins, nsh * c * npad, rows * wp),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * c * npad, rows * wp), jnp.float32),
+            pltpu.VMEM((1, nsh * c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={11: 0},
@@ -501,8 +521,10 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
       hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, wins0)
-    acc = _scatter_windows(wins, nbz, nby, gy, rows, c * npad, hp, wp)
-    acc = acc.reshape(d + 4, c, npad, hp, wp)[2:2 + d, :, :n, 2:2 + h, :w]
+    acc = _scatter_windows(wins, nbz, nby, gy, rows, c * npad, hp, wp,
+                           nsh, fp)
+    acc = acc.reshape(nbz + fp, c, npad, hp, wp)[fp:fp + d, :, :n,
+                                                 fp:fp + h, :w]
     return acc.transpose(2, 1, 0, 3, 4).astype(out_dtype)
 
 
@@ -514,9 +536,9 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
     """Cells-cotangent of pallas_fused3w_blend: (N, C, D, H, W)."""
     d, h, w = in_spatial
     k_rows, c, q = g.shape
-    rows = _win_rows(_xpad(w))
+    gy = _win_geom(w, cfg)[2]
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
-                                                  q_block, rows - 2)
+                                                  q_block, gy)
     gq = scatter_to_slots(
         g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     return _bwd_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,

@@ -144,9 +144,27 @@ def bin_base(coord, size, cfg):
     """The folded shared base used for query binning (fused3s/3w/3b).
 
     Must floor identically to axis_transform's ``base`` so bin membership
-    and the in-kernel masks agree.
+    and the in-kernel masks agree — hence the branches below apply the
+    SAME float ops to the same input as axis_transform does.
     """
     base, _ = unnormalize(coord, size, cfg.align_corners, cfg.multicell, 0.0)
     if cfg.padding_mode == "border":
         base, _ = clip_coordinates(base, size)
+    elif cfg.padding_mode == "reflection":
+        eff = size - 1 if (cfg.multicell or cfg.strict_reference) else size
+        if cfg.align_corners:
+            tl, th = 0, 2 * (eff - 1)
+        else:
+            tl, th = -1, 2 * size - 1
+        xb, _ = reflect_coordinates(base, tl, th)
+        base, _ = clip_coordinates(xb, size)
     return base
+
+
+def front_pad(cfg) -> int:
+    """Volume front padding (texels) per binned axis: the window must
+    reach ``shift_lo`` texels before the shared floor, so fp = 2 -
+    shift_lo (2 for zeros/border, 3 for reflection).  Note nsh - 1 == fp
+    in both cases, which the windowed kernels' geometry relies on
+    (window rows = gy + fp, overlap spill = fp rows)."""
+    return 2 - shift_lo(cfg)

@@ -90,12 +90,13 @@ def test_border_padding_routes_to_windowed(monkeypatch):
                         cfg) == "3w"
 
 
-def test_reflection_padding_routes_to_v2(monkeypatch):
-    # reflection needs the 4-texel widened patch: only the VMEM-resident
-    # v2 generations implement it (binned generations skip to fused3d)
+def test_reflection_padding_routes_to_v5(monkeypatch):
+    # reflection runs through the windowed kernels via the widened 4-shift
+    # patch (prep.n_shifts == 4); small clouds still fall back to v2
     cfg = SamplerConfig(dim=3, padding_mode="reflection", backend="pallas")
     assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 100_000,
-                        cfg) == "3d"
+                        cfg) == "3w"
+    assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 200, cfg) == "3d"
 
 
 def test_2d_large_q_routes_to_v5_2d(monkeypatch):
@@ -110,9 +111,10 @@ def test_2d_small_q_routes_to_v2_2d(monkeypatch):
     assert _route_blend(monkeypatch, (96, 4, 16, 16), 200, cfg) == "2d"
 
 
-def test_2d_reflection_routes_to_v2_2d(monkeypatch):
+def test_2d_reflection_routes_to_v5_2d(monkeypatch):
     cfg = SamplerConfig(dim=2, padding_mode="reflection", backend="pallas")
-    assert _route_blend(monkeypatch, (96, 4, 16, 16), 100_000, cfg) == "2d"
+    assert _route_blend(monkeypatch, (96, 4, 16, 16), 100_000, cfg) == "2w"
+    assert _route_blend(monkeypatch, (96, 4, 16, 16), 200, cfg) == "2d"
 
 
 @pytest.mark.parametrize(

@@ -98,8 +98,8 @@ def test_supports_gating():
                     n_queries=100_000)
     assert supports(SamplerConfig(dim=2, padding_mode="border"),
                     (96, 4, 16, 16), budget, n_queries=100_000)
-    assert not supports(SamplerConfig(dim=2, padding_mode="reflection"),
-                        (96, 4, 16, 16), budget, n_queries=100_000)
+    assert supports(SamplerConfig(dim=2, padding_mode="reflection"),
+                    (96, 4, 16, 16), budget, n_queries=100_000)
     assert not supports(SamplerConfig(dim=2), (96, 4, 16, 16), budget,
                         n_queries=200)
     assert not supports(SamplerConfig(dim=3), (50, 4, 16, 16, 16), budget)

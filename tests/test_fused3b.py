@@ -104,8 +104,8 @@ def test_supports_gating():
     assert supports(SamplerConfig(dim=3), big, budget, n_queries=1_000_000)
     # too few queries for ~8.5k bins -> XLA fallback
     assert not supports(SamplerConfig(dim=3), big, budget, n_queries=10_000)
-    assert not supports(SamplerConfig(dim=3, padding_mode="reflection"), big,
-                        budget)
+    assert supports(SamplerConfig(dim=3, padding_mode="reflection"), big,
+                    budget)
     assert not supports(SamplerConfig(dim=2), (50, 4, 16, 16), budget)
     # W not 128-aligned: handled via internal lane padding
     assert supports(SamplerConfig(dim=3), (16, 4, 128, 128, 64), budget,

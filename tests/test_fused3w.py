@@ -118,8 +118,8 @@ def test_supports_gating():
                         n_queries=120)
     assert supports(SamplerConfig(dim=3, padding_mode="border"),
                     (50, 4, 16, 16, 16), budget, n_queries=100_000)
-    assert not supports(SamplerConfig(dim=3, padding_mode="reflection"),
-                        (50, 4, 16, 16, 16), budget, n_queries=100_000)
+    assert supports(SamplerConfig(dim=3, padding_mode="reflection"),
+                    (50, 4, 16, 16, 16), budget, n_queries=100_000)
     assert not supports(SamplerConfig(dim=2), (50, 4, 16, 16), budget)
     # mid-size volumes that v3 rejects are in scope for v5
     assert supports(SamplerConfig(dim=3), (16, 4, 32, 32, 32), budget,

@@ -145,16 +145,17 @@ def test_padding_supports_matrix():
                             n_queries=100_000)
     assert fused2d.supports(SamplerConfig(dim=2, padding_mode="border"),
                             (96, 4, 16, 16), budget)
-    # reflection: VMEM-resident generations only (4-texel widened patch);
-    # the binned generations would need 4-slab windows
+    # reflection: the widened 4-shift patch runs through the VMEM-resident
+    # generations AND the binned windowed/bricked generations (4-slab
+    # windows, folded-coordinate binning); only v3 z-slabs stay out
     refl = SamplerConfig(dim=3, padding_mode="reflection")
     assert fused3d.supports(refl, (50, 4, 16, 16, 16), budget)
     assert fused2d.supports(SamplerConfig(dim=2,
                                           padding_mode="reflection"),
                             (96, 4, 16, 16), budget)
-    assert not fused3w.supports(refl, (50, 4, 16, 16, 16), budget,
-                                n_queries=100_000)
+    assert fused3w.supports(refl, (50, 4, 16, 16, 16), budget,
+                            n_queries=100_000)
     assert not fused3s.supports(refl, (50, 4, 16, 16, 16), budget,
                                 n_queries=100_000)
-    assert not fused3b.supports(refl, (50, 4, 16, 16, 16), budget,
-                                n_queries=100_000)
+    assert fused3b.supports(refl, (50, 4, 16, 16, 16), budget,
+                            n_queries=100_000)
