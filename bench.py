@@ -167,17 +167,19 @@ def _kernel_roofline(params, pts, cfg, generation, reps=50):
     return sec, 100 * gbps / V5E_HBM_GBPS, mxu["mxu_pct"]
 
 
-def _bench_3d(optimizer):
+def _bench_3d(optimizer, precision="exact"):
     """3D Helmholtz step at the reference's 3D workload (test_3d.py:14-19)."""
     rng = np.random.RandomState(1)
     cfg = pinn.PINNConfig(dim=3, n_cells=50, cell_dim=4, cell_size=16,
-                          kernel="cosine", pde="helmholtz", backend="auto")
+                          kernel="cosine", pde="helmholtz", backend="auto",
+                          precision=precision)
     params = pinn.init_params(jax.random.PRNGKey(1), cfg)
     opt_state = optimizer.init(params)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 3)),
                       dtype=jnp.float32)
     step = jax.jit(pinn.make_train_step(cfg, optimizer, slot_resident=True))
-    return _bench(step, params, opt_state, pts, "fused3d@100k")
+    return _bench(step, params, opt_state, pts,
+                  f"fused3d@100k[{precision}]")
 
 
 def _bench_large_sweep():
@@ -384,6 +386,13 @@ def main():
         log(f"3d bench failed ({type(e).__name__})")
         ips_3d = float("nan")
     try:
+        # precision="fast": 2-pass bf16 split (~4e-6 rel err) — the MXU
+        # throughput knob, measured so the tradeoff is a recorded number
+        ips_3d_fast = _bench_3d(optimizer, precision="fast")
+    except Exception as e:  # pragma: no cover
+        log(f"3d fast-precision bench failed ({type(e).__name__})")
+        ips_3d_fast = float("nan")
+    try:
         large = _bench_large_sweep()
     except Exception as e:  # pragma: no cover
         log(f"large sweep failed ({type(e).__name__})")
@@ -407,6 +416,7 @@ def main():
             "fused3d_v5_fwd_kernel_ms": round(k3_sec * 1e3, 2),
             "fused3d_v5_fwd_mxu_pct": round(mxu3_pct, 1),
             "pinn3d_helmholtz_50x4x16c_100k_iters_per_sec": round(ips_3d, 3),
+            "pinn3d_fast_precision_iters_per_sec": round(ips_3d_fast, 3),
             "large_sweep_16x4x128c_1M_fused_fwd_mpts_per_sec":
                 round(large["fwd_mpts"], 2),
             "large_sweep_16x4x128c_1M_fused_bwd_mpts_per_sec":

@@ -36,6 +36,7 @@ class PINNConfig:
     align_corners: bool = True
     multicell: bool = True
     backend: str = "auto"
+    precision: str = "exact"     # MXU strategy, SamplerConfig.precision
     pde: str = "allen_cahn"      # allen_cahn (2D, test_2d.py:221) |
     #                              helmholtz (3D, test_3d.py:270)
 
@@ -44,7 +45,7 @@ class PINNConfig:
         return SamplerConfig(
             dim=self.dim, kernel=self.kernel, padding_mode=self.padding_mode,
             align_corners=self.align_corners, multicell=self.multicell,
-            backend=self.backend,
+            backend=self.backend, precision=self.precision,
         )
 
 

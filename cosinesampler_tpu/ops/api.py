@@ -24,18 +24,22 @@ from .sampler import sample
 def cosine_sampler_2d(input, grid, padding_mode: str = "zeros",
                       align_corners: bool = True, kernel: str = "cosine",
                       multicell: bool = True, backend: str = "auto",
-                      strict_reference: bool = False):
+                      strict_reference: bool = False,
+                      precision: str = "exact"):
     """Sample N feature grids (N, C, H, W) at grid (N, H_out, W_out, 2).
 
     Grid coords in [-1, 1]; grid[..., 0] is x (addresses W), grid[..., 1] is
     y (addresses H).  Returns (N, C, H_out, W_out).
     ``strict_reference`` reproduces the reference CUDA kernels' coordinate
     quirks bit-faithfully (see SamplerConfig.strict_reference).
+    ``precision`` picks the Pallas kernels' MXU strategy (see
+    SamplerConfig.precision): "exact" (default, f32-faithful), "fast"
+    (~4e-6 relative error, up to 1.5x MXU throughput), "highest".
     """
     cfg = SamplerConfig(
         dim=2, kernel=kernel, padding_mode=padding_mode,
         align_corners=align_corners, multicell=multicell, backend=backend,
-        strict_reference=strict_reference,
+        strict_reference=strict_reference, precision=precision,
     )
     return sample(input, grid, cfg)
 
@@ -43,16 +47,18 @@ def cosine_sampler_2d(input, grid, padding_mode: str = "zeros",
 def cosine_sampler_3d(input, grid, padding_mode: str = "zeros",
                       align_corners: bool = True, kernel: str = "cosine",
                       multicell: bool = True, backend: str = "auto",
-                      strict_reference: bool = False):
+                      strict_reference: bool = False,
+                      precision: str = "exact"):
     """Sample N feature volumes (N, C, D, H, W) at grid (N, D_out, H_out, W_out, 3).
 
     grid[..., 0] is x (addresses W), [..., 1] y (H), [..., 2] z (D).
-    Returns (N, C, D_out, H_out, W_out).
+    Returns (N, C, D_out, H_out, W_out).  For ``strict_reference`` /
+    ``precision`` see :func:`cosine_sampler_2d`.
     """
     cfg = SamplerConfig(
         dim=3, kernel=kernel, padding_mode=padding_mode,
         align_corners=align_corners, multicell=multicell, backend=backend,
-        strict_reference=strict_reference,
+        strict_reference=strict_reference, precision=precision,
     )
     return sample(input, grid, cfg)
 

@@ -14,6 +14,7 @@ from .interpolants import canonical_kernel
 
 PADDING_MODES = ("zeros", "border", "reflection")
 BACKENDS = ("auto", "xla", "pallas")
+PRECISIONS = ("exact", "fast", "highest")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +38,14 @@ class SamplerConfig:
     #:     that inconsistency (value-order blends use align_corners=True;
     #:     every derivative order and every splat uses the real flag).
     strict_reference: bool = False
+    #: MXU precision strategy for the Pallas kernels' one-hot contractions
+    #: (see ops/pallas/mxu.py).  "exact" (default): 3-pass bf16 split,
+    #: bit-faithful to f32; "fast": 2-pass split, ~4e-6 relative error on
+    #: the sampled values for ~1.5x MXU throughput on MXU-bound shapes;
+    #: "highest": XLA's 6-pass algorithm (same values as "exact", slower
+    #: — kept for A/B validation).  The XLA backend and the f64 path are
+    #: always exact regardless of this flag.
+    precision: str = "exact"
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -48,6 +57,9 @@ class SamplerConfig:
             )
         if self.backend not in BACKENDS:
             raise ValueError(f"backend must be one of {BACKENDS}, got {self.backend!r}")
+        if self.precision not in PRECISIONS:
+            raise ValueError(
+                f"precision must be one of {PRECISIONS}, got {self.precision!r}")
 
 
 def effective_align(cfg: SamplerConfig, orders) -> bool:

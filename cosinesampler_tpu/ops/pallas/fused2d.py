@@ -86,7 +86,7 @@ def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
     # Split the resident cell stack into exact bf16 terms ONCE; each of the
     # 9 one-hot panels then contracts in EXACT_PASSES MXU passes instead of
     # HIGHEST's 6 (see mxu.py — the selector is exactly bf16-representable).
-    cells_terms = mxu.split_bf16(cells_ref[:], mxu.EXACT_PASSES)  # (C*N, H*W)
+    cells_terms = mxu.split_bf16(cells_ref[:], mxu.passes_for(cfg))  # (C*N, H*W)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_2D]
     for j in range(len(hy)):
         for i in range(len(hx)):

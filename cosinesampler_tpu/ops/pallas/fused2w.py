@@ -64,7 +64,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     cn = _npad(n) * c
     if 2 * cn * k * 4 > vmem_budget:                # double-buffer scratch
         return False
-    if mxu.EXACT_PASSES * cn * k * 2 > vmem_budget:
+    if mxu.passes_for(cfg) * cn * k * 2 > vmem_budget:
         return False
     nby, hp = _geom2(h, gy, fp)
     if nby * cn * k * 4 > _WIN_HBM_BUDGET:
@@ -184,7 +184,7 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
         ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
         mask = valid * ymask
         terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
-                               mxu.EXACT_PASSES)              # (C*N, K)
+                               mxu.passes_for(cfg))           # (C*N, K)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
         rows_acc = [jnp.zeros((c, n, q_block), jnp.float32) for _ in _ROWS_2D]
         for j in range(nsh):

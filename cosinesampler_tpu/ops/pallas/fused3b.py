@@ -104,11 +104,10 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
         return False
     # in-kernel x one-hot panels (nsh f32 (wpad, Qb)) + the bf16 split
     # copies of the brick rows: a degenerate very-wide-W volume can pass
-    # the gates above yet blow VMEM at runtime (see mxu.EXACT_PASSES).
-    from . import mxu
+    # the gates above yet blow VMEM at runtime (see ops/pallas/mxu.py).
     if nsh * w * V3B_Q_BLOCK * 4 > vmem_budget:
         return False
-    if mxu.EXACT_PASSES * nsh * n * c * wy * w * 2 > vmem_budget:
+    if mxu.passes_for(cfg) * nsh * n * c * wy * w * 2 > vmem_budget:
         return False
     nby, _, nbins, hp = _geom(d, h, V3B_GY, fp)
     if (d + fp + 2) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
@@ -341,7 +340,7 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         # so stage 2 slices rows at cn3 granularity, tile-aligned.
         rows = scratch[pl.ds(wy_rows * p, wy_rows)].reshape(
             wy_rows * cn3, wpad)
-        terms = mxu.split_bf16(rows, mxu.EXACT_PASSES)
+        terms = mxu.split_bf16(rows, mxu.passes_for(cfg))
         b1 = [
             mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
             for i in range(nsh)
@@ -352,8 +351,11 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             for i in range(nsh):
                 # stage 2 (VPU): one-hot row blend over the y window,
                 # (1, Qb) row factors broadcast over aligned 2D slices
+                # hyl[j] hits row = loci + j with loci in [0, gy-1]:
+                # only rows j..j+gy-1 can be non-zero one-hots, so the
+                # blend skips the identically-zero window rows.
                 v = jnp.zeros((cn3, q_block), jnp.float32)
-                for row in range(wy_rows):
+                for row in range(j, j + gy):
                     v = v + (b1[i][row * cn3:(row + 1) * cn3]
                              * hyl[j][row][None, :])
                 v = v.reshape(nsh, c, n, q_block)         # layout-free
@@ -524,7 +526,8 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                 ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
                       + s[2] * wz[2][k][None] for k in range(nsh)]
                 pk = jnp.stack(ps, axis=0).reshape(cn3, q_block)
-                for row in range(wy_rows):
+                # only rows j..j+gy-1 can hit (see the blend kernel)
+                for row in range(j, j + gy):
                     rows_u[row] = rows_u[row] + pk * hyl[j][row][None, :]
             u = jnp.concatenate(rows_u, axis=0)        # (wy_rows*cn3, Qb)
             # stage 2 (MXU): scatter over x via the one-hot transpose
@@ -540,7 +543,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         def _():
             cp2 = pltpu.make_async_copy(
                 scratch,
-                out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, 3)],
+                out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, nsh)],
                 sem_out)
             cp2.start()
             cp2.wait()

@@ -89,7 +89,7 @@ def _fused3_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
 
     # Exact bf16 split of the resident volume, computed once and contracted
     # against all 27 one-hot panels (see mxu.py).
-    cells_terms = mxu.split_bf16(cells_ref[:], mxu.EXACT_PASSES)  # (C*N, DHW)
+    cells_terms = mxu.split_bf16(cells_ref[:], mxu.passes_for(cfg))  # (C*N, DHW)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
     for k in range(len(hz)):
         for j in range(len(hy)):

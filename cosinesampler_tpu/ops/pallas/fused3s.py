@@ -132,7 +132,7 @@ def _fused3s_blend_kernel(x_ref, y_ref, z_ref, valid_ref, zf_ref, off_ref,
         zq = jnp.clip(zf + k, 0, d - 1)
         kmask = ((zf + k >= 0) & (zf + k <= d - 1)).astype(jnp.float32)
         slab = cells_ref[pl.ds(zq, 1), :, :][0]            # (C*N, H*W)
-        slab_terms = mxu.split_bf16(slab, mxu.EXACT_PASSES)
+        slab_terms = mxu.split_bf16(slab, mxu.passes_for(cfg))
         for j in range(3):
             for i in range(3):
                 v = mxu.onehot_dot_terms(

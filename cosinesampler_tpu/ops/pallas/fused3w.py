@@ -127,7 +127,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     if cn3 * k * 4 > vmem_budget:                   # window scratch
         return False
     # bf16 split copies of the window + the (K, Qb) hit panels
-    if mxu.EXACT_PASSES * cn3 * k * 2 > vmem_budget:
+    if mxu.passes_for(cfg) * cn3 * k * 2 > vmem_budget:
         return False
     if k * V3W_Q_BLOCK * 4 > vmem_budget:
         return False
@@ -261,7 +261,7 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
         terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
-                               mxu.EXACT_PASSES)              # (nsh*C*N, K)
+                               mxu.passes_for(cfg))           # (nsh*C*N, K)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
         # The VPU weight blend is the 3D bottleneck (the MXU gather runs at
         # ~10% occupancy while the 2D kernel hits ~74%), so the per-panel

@@ -80,3 +80,13 @@ def onehot_dot(m, a, dims, passes: int | None = None):
             m, a, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     return onehot_dot_terms(split_bf16(m, passes), a, dims)
+
+
+def passes_for(cfg) -> int:
+    """MXU pass count for ``SamplerConfig.precision``.
+
+    "exact" defers to the module default ``EXACT_PASSES`` (3 unless an
+    expert overrides it before tracing); "fast" is the 2-pass split
+    (~4e-6 relative error); "highest" forces XLA's 6-pass algorithm.
+    """
+    return {"exact": EXACT_PASSES, "fast": 2, "highest": 6}[cfg.precision]
