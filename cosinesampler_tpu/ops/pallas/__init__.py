@@ -120,12 +120,6 @@ def _fused_bwd(g, points, in_spatial, cfg, n_cells):
                             interpret=INTERPRET)
 
 
-def _fused_padded(cells, points, cfg):
-    """Slot-resident fused blend: (out_p, occ, positions) or None.
-
-    Only the v5 windowed generations have a padded variant; every other
-    route returns None and the caller (ops/fused.py) falls back to the
-    regular kernel with an identity slot plan."""
 def _padded_route(cfg, cells_shape, n_queries):
     """Which padded kernel handles this config, respecting the exact
     _fused_blend priority order (a None step means that generation wins
