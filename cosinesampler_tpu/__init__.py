@@ -8,7 +8,8 @@ multi-device sharding over JAX meshes.
 """
 
 from .ops import (CosineSampler2d, CosineSampler3d, SamplerConfig,
-                  cosine_sampler_2d, cosine_sampler_3d, sample,
+                  cosine_sampler_2d, cosine_sampler_3d, make_sample_plan,
+                  sample, sample_features_padded,
                   sample_features_with_derivs)
 
 __version__ = "0.1.0"
@@ -20,5 +21,7 @@ __all__ = [
     "cosine_sampler_2d",
     "cosine_sampler_3d",
     "sample",
+    "sample_features_padded",
     "sample_features_with_derivs",
+    "make_sample_plan",
 ]

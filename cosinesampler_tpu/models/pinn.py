@@ -160,12 +160,16 @@ def loss_fused(params, pts, cfg: PINNConfig):
     return jnp.mean(f**2)
 
 
-def loss_fused_slots(params, pts, cfg: PINNConfig):
+def loss_fused_slots(params, pts, cfg: PINNConfig, plan=None):
     """Slot-resident fused loss: identical value to loss_fused (up to fp
     summation order), but the whole residual is computed in the sampler's
     bin-slot layout, masked by ``occ`` — the per-step output gather and
-    cotangent scatter of the query-ordered path disappear."""
-    feats, occ, _ = sample_features_padded(params["cells"], pts, cfg.sampler)
+    cotangent scatter of the query-ordered path disappear.  ``plan``
+    (make_sample_plan over fixed collocation points — the reference's own
+    training pattern, test_2d.py:23-26) additionally hoists the per-step
+    binning/sort."""
+    feats, occ, _ = sample_features_padded(params["cells"], pts, cfg.sampler,
+                                           plan=plan)
     u, u_d, u_dd = _mlp_derivs(params, feats, cfg.dim)
     f = _residual_from_fields(u, u_d, u_dd, cfg)
     return jnp.sum(jnp.square(f) * occ) / pts.shape[0]
@@ -193,7 +197,7 @@ def loss(params, pts, cfg: PINNConfig):
 
 
 def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
-                    slot_resident: bool = False):
+                    slot_resident: bool = False, planned: bool = False):
     """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready.
 
     ``fused=True`` uses the single-pass value/derivative sampler
@@ -201,7 +205,25 @@ def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
     ``slot_resident=True`` (implies fused) keeps the residual in the
     sampler's bin-slot layout (loss_fused_slots) — same loss up to fp
     summation order, minus two random-access passes per step.
+    ``planned=True`` (implies slot_resident) returns a step taking a 4th
+    argument, the precomputed bin plan for the FIXED point set
+    (``ops.fused.make_sample_plan``): the per-step query binning/sort is
+    hoisted out of the loop, matching the reference workloads' fixed
+    collocation points (test_2d.py:23-26, test_3d.py:16-19); see
+    ops/fused.py:make_fused_planned for measured savings per trainer
+    shape.
     """
+    if planned:
+        def step(params, opt_state, pts, plan):
+            lval, grads = jax.value_and_grad(
+                lambda p: loss_fused_slots(p, pts, cfg, plan))(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, lval
+
+        return step
+
     loss_fn = (loss_fused_slots if slot_resident
                else loss_fused if fused else loss)
 

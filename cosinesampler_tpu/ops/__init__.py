@@ -1,7 +1,8 @@
 from .api import (CosineSampler2d, CosineSampler3d, cosine_sampler_2d,
                   cosine_sampler_3d)
 from .config import SamplerConfig
-from .fused import sample_features_with_derivs
+from .fused import (make_sample_plan, sample_features_padded,
+                    sample_features_with_derivs)
 from .sampler import differentiable_blend, differentiable_splat, sample
 from . import pallas as _pallas_backend  # noqa: F401  (registers the backend)
 
@@ -15,4 +16,6 @@ __all__ = [
     "differentiable_splat",
     "sample",
     "sample_features_with_derivs",
+    "sample_features_padded",
+    "make_sample_plan",
 ]

@@ -27,6 +27,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.dtypes import float0
 
 from . import generic
 from .config import SamplerConfig
@@ -108,6 +110,26 @@ def _resolve_fused(cfg: SamplerConfig, op: str):
     return impls.get(op)
 
 
+def _points_cotangent(cells, points, g_q, cfg: SamplerConfig, n_cells: int):
+    """Exact points cotangent via order-bumped blends (DCE'd when the
+    caller does not differentiate w.r.t. the points).
+
+    ``g_q``: query-ordered (1+2d, C, Q) cotangent of the fused output."""
+    grid = _points_to_grid(points, n_cells)
+    q = points.shape[0]
+    lanes = []
+    for ax in range(cfg.dim):
+        acc = 0.0
+        for row, o in enumerate(_all_orders(cfg.dim)):
+            bumped = tuple(v + (1 if i == ax else 0)
+                           for i, v in enumerate(o))
+            blend_b = differentiable_blend(cfg, bumped)
+            term = blend_b(cells, grid).reshape(n_cells, -1, q).sum(0)
+            acc = acc + (g_q[row] * term).sum(axis=0)     # sum channels
+        lanes.append(acc)
+    return jnp.stack(lanes, axis=-1).astype(points.dtype)
+
+
 _FUSED_CACHE = {}
 
 
@@ -144,21 +166,7 @@ def make_fused(cfg: SamplerConfig, n_cells: int, in_spatial: Tuple[int, ...]):
     def fused_bwd(res, g):
         cells, points = res
         cells_bar = bwd_impl(g, points)
-        # points cotangent: exact, via order-bumped blends (DCE'd when the
-        # caller does not differentiate w.r.t. the points)
-        grid = _points_to_grid(points, n_cells)
-        q = points.shape[0]
-        lanes = []
-        for ax in range(cfg.dim):
-            acc = 0.0
-            for row, o in enumerate(_all_orders(cfg.dim)):
-                bumped = tuple(v + (1 if i == ax else 0)
-                               for i, v in enumerate(o))
-                blend_b = differentiable_blend(cfg, bumped)
-                term = blend_b(cells, grid).reshape(n_cells, -1, q).sum(0)
-                acc = acc + (g[row] * term).sum(axis=0)     # sum channels
-            lanes.append(acc)
-        points_bar = jnp.stack(lanes, axis=-1).astype(points.dtype)
+        points_bar = _points_cotangent(cells, points, g, cfg, n_cells)
         return cells_bar, points_bar
 
     fused_o.defvjp(fused_fwd, fused_bwd)
@@ -232,25 +240,12 @@ def make_fused_padded(cfg: SamplerConfig, n_cells: int,
         cells, points, positions = res
         g_p = gs[0]          # occ / positions cotangents: piecewise-const
         cells_bar = bwd_impl_padded(g_p, points)
-        # points cotangent: gather the cotangent back to query order, then
-        # the order-bumped blends (DCE'd when the caller does not
-        # differentiate w.r.t. the points)
+        # points cotangent: gather the cotangent back to query order first
         q = points.shape[0]
         c = g_p.shape[1]
         g_q = g_p.reshape(-1, g_p.shape[-1])[:, positions].reshape(
             1 + 2 * cfg.dim, c, q)
-        grid = _points_to_grid(points, n_cells)
-        lanes = []
-        for ax in range(cfg.dim):
-            acc = 0.0
-            for row, o in enumerate(_all_orders(cfg.dim)):
-                bumped = tuple(v + (1 if i == ax else 0)
-                               for i, v in enumerate(o))
-                blend_b = differentiable_blend(cfg, bumped)
-                term = blend_b(cells, grid).reshape(n_cells, -1, q).sum(0)
-                acc = acc + (g_q[row] * term).sum(axis=0)
-            lanes.append(acc)
-        points_bar = jnp.stack(lanes, axis=-1).astype(points.dtype)
+        points_bar = _points_cotangent(cells, points, g_q, cfg, n_cells)
         return cells_bar, points_bar
 
     fused_p.defvjp(fused_fwd, fused_bwd)
@@ -258,15 +253,147 @@ def make_fused_padded(cfg: SamplerConfig, n_cells: int,
     return fused_p
 
 
-def sample_features_padded(cells, points, cfg: SamplerConfig):
+def _zero_cotangent(x):
+    """Zero cotangent for a plan leaf: float0 for integer arrays (the JAX
+    tangent type for non-inexact primals), plain zeros otherwise."""
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, float0)
+
+
+_FUSED_PLANNED_CACHE = {}
+
+
+def make_fused_planned(cfg: SamplerConfig, n_cells: int,
+                       in_spatial: Tuple[int, ...]):
+    """Slot-resident fused op taking a precomputed bin plan:
+    (cells, points, plan) -> (out_p, occ, positions).
+
+    Semantically identical to make_fused_padded given
+    ``plan = make_sample_plan(points, cells.shape, cfg)``, but the binning
+    (a 1M-key sort + slot scatters, ~12 ms standalone at the 128^3 sweep
+    after the bin-boundary-scatter optimization, BENCHMARKS.md) is hoisted
+    out of the step.  The reference's own PINN workloads sample their
+    collocation points once per run (test_2d.py:23-26, test_3d.py:16-19),
+    so training loops over fixed points amortize the plan to zero.
+    Measured wins (scripts/time_plan*.py): under a jitted ``lax.scan`` XLA
+    already hoists the point-invariant binning out of the loop body, so
+    the step saves only the residual slot work (96.0 -> 90.1 ms at the 1M
+    sweep); the full binning cost returns for step-per-dispatch trainers,
+    where every call re-pays it.
+    """
+    key = (cfg, n_cells, in_spatial)
+    cached = _FUSED_PLANNED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def impl(cells, points):
+        fused_fn = _resolve_fused(cfg, "fused_blend")
+        if fused_fn is not None:
+            out = fused_fn(cells, points, cfg)
+            if out is not None:
+                return out
+        return xla_fused_blend(cells, points, cfg)
+
+    def impl_planned(cells, points, plan):
+        fn = _resolve_fused(cfg, "fused_padded")
+        if fn is not None:
+            out = fn(cells, points, cfg, plan=plan)
+            if out is not None:
+                return out
+        # no padded kernel for these VALUES (e.g. f64 cells): keep the
+        # plan's slot layout by scattering the query-ordered result
+        positions, occ = plan[0], plan[1]
+        qp = occ.shape[0]
+        out = impl(cells, points)
+        rows, c, q = out.shape
+        out_p = jnp.zeros((rows * c, qp), out.dtype).at[:, positions].set(
+            out.reshape(rows * c, q))
+        return out_p.reshape(rows, c, qp), occ, positions
+
+    def bwd_impl_planned(g_p, points, plan):
+        fn = _resolve_fused(cfg, "fused_padded_bwd")
+        if fn is not None:
+            out = fn(g_p, points, in_spatial, cfg, n_cells, plan=plan)
+            if out is not None:
+                return out
+        positions = plan[0]
+        rows, c, qp = g_p.shape
+        q = points.shape[0]
+        g = g_p.reshape(rows * c, qp)[:, positions].reshape(rows, c, q)
+        fused_fn = _resolve_fused(cfg, "fused_bwd")
+        if fused_fn is not None:
+            out = fused_fn(g, points, in_spatial, cfg, n_cells)
+            if out is not None:
+                return out
+        return xla_fused_bwd(g, points, in_spatial, cfg, n_cells)
+
+    @jax.custom_vjp
+    def fused_pl(cells, points, plan):
+        return impl_planned(cells, points, plan)
+
+    def fused_fwd(cells, points, plan):
+        out = fused_pl(cells, points, plan)
+        return out, (cells, points, out[2], plan)
+
+    def fused_bwd(res, gs):
+        cells, points, positions, plan = res
+        g_p = gs[0]          # occ / positions cotangents: piecewise-const
+        cells_bar = bwd_impl_planned(g_p, points, plan)
+        q = points.shape[0]
+        c = g_p.shape[1]
+        g_q = g_p.reshape(-1, g_p.shape[-1])[:, positions].reshape(
+            1 + 2 * cfg.dim, c, q)
+        points_bar = _points_cotangent(cells, points, g_q, cfg, n_cells)
+        plan_bar = jax.tree_util.tree_map(_zero_cotangent, plan)
+        return cells_bar, points_bar, plan_bar
+
+    fused_pl.defvjp(fused_fwd, fused_bwd)
+    _FUSED_PLANNED_CACHE[key] = fused_pl
+    return fused_pl
+
+
+def make_sample_plan(points, cells_shape, cfg: SamplerConfig):
+    """Precompute the bin plan for a FIXED point set, or None.
+
+    The slot-resident kernels bin/sort the query cloud every call; for a
+    training loop whose collocation points do not change between steps
+    (the reference's own workloads, test_2d.py:23-26 / test_3d.py:16-19),
+    build the plan once and pass it to ``sample_features_padded(...,
+    plan=plan)`` — at the 1M-point 128^3 sweep the binning costs ~12 ms
+    standalone (see make_fused_planned for what each trainer shape
+    actually saves).  Returns None when
+    no slot-resident kernel routes for this config (callers then use the
+    unplanned path).  A plan is valid only for the exact (points,
+    cells_shape, cfg) it was built from; jit-safe (a pytree of arrays).
+    """
+    if points.ndim != 2 or points.shape[-1] != cfg.dim:
+        raise ValueError(f"points must be (Q, {cfg.dim}): got {points.shape}")
+    fn = _resolve_fused(cfg, "fused_plan")
+    if fn is None:
+        return None
+    return fn(points, tuple(cells_shape), cfg)
+
+
+def sample_features_padded(cells, points, cfg: SamplerConfig, plan=None):
     """Slot-resident sample_features_with_derivs.
 
     Returns (out_p, occ, positions): out_p (1+2d, C, QP) in bin-slot
     order, occ the (QP,) 0/1 real-slot mask, positions the (Q,) slot of
     each query.  ``out_p[:, :, positions]`` == the query-ordered API.
+    ``plan`` (from make_sample_plan, for a fixed point set) hoists the
+    per-call binning/sorting out of the op.
     """
     if points.ndim != 2 or points.shape[-1] != cfg.dim:
         raise ValueError(f"points must be (Q, {cfg.dim}): got {points.shape}")
+    if plan is not None:
+        if plan[0].shape[0] != points.shape[0]:
+            raise ValueError(
+                f"plan was built for {plan[0].shape[0]} points; "
+                f"got {points.shape[0]} (plans are point-set-specific)")
+        fused = make_fused_planned(cfg, cells.shape[0],
+                                   tuple(cells.shape[2:]))
+        return fused(cells, points, plan)
     fused = make_fused_padded(cfg, cells.shape[0], tuple(cells.shape[2:]))
     return fused(cells, points)
 

@@ -145,21 +145,23 @@ _PADDED_FNS = {fused2w: (fused2w.pallas_fused2w_blend_padded,
                          fused3b.pallas_fused3b_bwd_padded)}
 
 
-def _fused_padded(cells, points, cfg):
+def _fused_padded(cells, points, cfg, plan=None):
     """Slot-resident fused blend: (out_p, occ, positions) or None.
 
     Only the v5 windowed / v4 bricked generations have padded variants;
     every other route returns None and the caller (ops/fused.py) falls
-    back to the regular kernel with an identity slot plan."""
+    back to the regular kernel with an identity slot plan.  ``plan``
+    (from _fused_plan, same route) hoists the binning for fixed points."""
     if _f64(cells, points) or _strict_mixed_align(cfg):
         return None
     mod = _padded_route(cfg, cells.shape, points.shape[0])
     if mod is None:
         return None
-    return _PADDED_FNS[mod][0](cells, points, cfg, interpret=INTERPRET)
+    return _PADDED_FNS[mod][0](cells, points, cfg, interpret=INTERPRET,
+                               plan=plan)
 
 
-def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells):
+def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells, plan=None):
     if _f64(g_p, points) or _strict_mixed_align(cfg):
         return None
     shape = (n_cells, g_p.shape[1], *in_spatial)
@@ -167,7 +169,23 @@ def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells):
     if mod is None:
         return None
     return _PADDED_FNS[mod][1](g_p, points, tuple(in_spatial), cfg, n_cells,
-                               interpret=INTERPRET)
+                               interpret=INTERPRET, plan=plan)
+
+
+def _fused_plan(points, cells_shape, cfg):
+    """Precompute the bin plan for the padded kernel this config routes to
+    (None when no slot-resident kernel applies — identity plan).
+
+    The binning keys on stop_gradient'd floors of the coordinates, so a
+    plan built from the same ``points`` the padded op later receives is
+    bit-consistent with in-op binning.  f64 points route to the XLA path
+    (no plan), mirroring _fused_padded."""
+    if _f64(points) or _strict_mixed_align(cfg):
+        return None
+    mod = _padded_route(cfg, cells_shape, points.shape[0])
+    if mod is None:
+        return None
+    return mod.make_plan(points, tuple(cells_shape[2:]), cfg)
 
 
 for _dim in (2, 3):
@@ -175,7 +193,8 @@ for _dim in (2, 3):
     register_backend("pallas", _dim, fused_blend=_fused_blend,
                      fused_bwd=_fused_bwd)
     register_backend("pallas", _dim, fused_padded=_fused_padded,
-                     fused_padded_bwd=_fused_padded_bwd)
+                     fused_padded_bwd=_fused_padded_bwd,
+                     fused_plan=_fused_plan)
 
 __all__ = ["pallas_blend", "pallas_splat", "pallas_fused_blend",
            "pallas_fused_bwd", "INTERPRET"]

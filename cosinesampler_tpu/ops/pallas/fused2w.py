@@ -109,6 +109,27 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     return positions, occ, y0_block, hasv, qp
 
 
+def make_plan(points, in_spatial, cfg: SamplerConfig,
+              q_block: int = V2W_Q_BLOCK):
+    """Precompute the bin plan for a FIXED point set (fused3b.make_plan
+    rationale): (positions, occ, y0, hasv, pts_p)."""
+    h, w = in_spatial
+    gy = _win_geom(w, cfg)[2]
+    positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
+    return (positions, occ, y0, hasv, pts_p)
+
+
+def _plan_or_bin2(points, h, cfg, q_block, gy, plan):
+    if plan is None:
+        positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+        pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
+    else:
+        positions, occ, y0, hasv, pts_p = plan
+        qp = occ.shape[0]
+    return positions, occ, y0, hasv, pts_p, qp
+
+
 def _pad_grid(cells, h, w, hp, wp, fp=2):
     """(N,C,H,W) -> zero-padded (C*N, Hp, Wp) layout; texel row t sits at
     padded t + fp (fp = 3 absorbs reflection's shift_lo = -1 corner)."""
@@ -210,7 +231,7 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
 def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
                                 q_block: int = V2W_Q_BLOCK,
-                                interpret: bool = False):
+                                interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (5, C, QP), occ (QP,), positions (Q,)).
 
     Padding slots are zero and flagged by ``occ``; see
@@ -220,10 +241,10 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     nby, hp = _geom2(h, gy, fp)
-    positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    positions, occ, y0, hasv, pts_p, qp = _plan_or_bin2(
+        points, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
@@ -348,7 +369,8 @@ def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
 
 
 def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
-                     n_cells: int, q_block: int, interpret: bool, out_dtype):
+                     n_cells: int, q_block: int, interpret: bool, out_dtype,
+                     plan=None):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (5*C, QP) f32, slot-ordered per the _ybin layout of ``points``
@@ -358,12 +380,12 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
     npad = _npad(n)
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     nby, hp = _geom2(h, gy, fp)
-    positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
+    positions, occ, y0, hasv, pts_p, qp = _plan_or_bin2(
+        points, h, cfg, q_block, gy, plan)
     k_rows = 5
     c = gq.shape[0] // k_rows
     nblocks = qp // q_block
 
-    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
@@ -439,11 +461,12 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
 def pallas_fused2w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
                               q_block: int = V2W_Q_BLOCK,
-                              interpret: bool = False):
+                              interpret: bool = False, plan=None):
     """Cells-cotangent taking the slot-space (5, C, QP) cotangent of
     pallas_fused2w_blend_padded directly — no scatter pass."""
     k_rows, c, qp = g_p.shape
     gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
     return _bwd_from_slots2(gq, points, in_spatial, cfg, n_cells, q_block,
                             interpret,
-                            jnp.promote_types(g_p.dtype, points.dtype))
+                            jnp.promote_types(g_p.dtype, points.dtype),
+                            plan=plan)

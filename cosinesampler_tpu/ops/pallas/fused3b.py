@@ -223,6 +223,44 @@ def scatter_to_slots(arr, positions, qp):
     return out.at[positions].set(arr, unique_indices=True)
 
 
+def make_plan(points, in_spatial, cfg: SamplerConfig,
+              q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY):
+    """Precompute the bin plan for a FIXED point set.
+
+    At the 1M-point 128^3 sweep the binning (the lax.sort over 1M keys
+    plus the slot scatters) costs ~12 ms standalone (post
+    bin-boundary-scatter optimization, BENCHMARKS.md); the reference's own
+    PINN workloads sample their collocation points ONCE (test_2d.py:23-26,
+    test_3d.py:16-19), so a training loop over fixed points can hoist the
+    plan out of the step.  What a given trainer shape actually saves is
+    measured in ops/fused.py:make_fused_planned's docstring (XLA hoists
+    the point-invariant binning out of a jitted lax.scan on its own).
+    Returns ``(positions, occ, z0, y0, hasv, pts_p)`` — pass it back via
+    the ``plan=`` kwarg of the padded kernels (or the public
+    ``make_sample_plan`` / ``sample_features_padded`` API).  The plan is
+    only valid for the exact (points, volume shape, cfg, q_block) it was
+    built from.
+    """
+    d, h, _ = in_spatial
+    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                  q_block, gy)
+    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
+    return (positions, occ, z0, y0, hasv, pts_p)
+
+
+def plan_or_bin(points, d, h, cfg, q_block, gy, plan):
+    """(positions, occ, z0, y0, hasv, pts_p, qp): from ``plan`` when given
+    (its shapes carry qp), else recomputed from ``points``."""
+    if plan is None:
+        positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
+                                                      q_block, gy)
+        pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
+    else:
+        positions, occ, z0, y0, hasv, pts_p = plan
+        qp = occ.shape[0]
+    return positions, occ, z0, y0, hasv, pts_p, qp
+
+
 def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
     """Window-local y one-hots + per-cell weights + bin-membership mask.
 
@@ -381,12 +419,15 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                                              "interpret"))
 def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                 q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                                interpret: bool = False):
+                                interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
 
     At the 1M-point sweep the query-ordered API's output gather and
     cotangent scatter cost ~5-6 ms each (see _brick_bin); slot-resident
-    consumers (models/pinn.py slot_resident=True) skip both."""
+    consumers (models/pinn.py slot_resident=True) skip both.  ``plan``
+    (from make_plan, for fixed point sets) hoists the binning itself —
+    ~12 ms standalone at that scale (see make_plan for what each trainer
+    shape actually saves)."""
     n, c, d, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)
@@ -394,11 +435,10 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     nsh = n_shifts(cfg)
     nby, _, _, hp = _geom(d, h, gy, fp)
     wp = _wpad(w)
-    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
-                                                  q_block, gy)
+    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
+        points, d, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
@@ -551,7 +591,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
 def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
                       n_cells: int, q_block: int, gy: int, interpret: bool,
-                      out_dtype):
+                      out_dtype, plan=None):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (7*C, QP) f32, slot-ordered per the _brick_bin layout of
@@ -563,13 +603,12 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     nsh = n_shifts(cfg)
     nby, _, _, hp = _geom(d, h, gy, fp)
     wp = _wpad(w)
-    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
-                                                  q_block, gy)
+    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
+        points, d, h, cfg, q_block, gy, plan)
     k_rows = 7
     c = gq.shape[0] // k_rows
     nblocks = qp // q_block
 
-    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
@@ -647,11 +686,12 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
 def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
                               q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                              interpret: bool = False):
+                              interpret: bool = False, plan=None):
     """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
     pallas_fused3b_blend_padded directly — no scatter pass."""
     k_rows, c, qp = g_p.shape
     gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
     return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                              gy, interpret,
-                             jnp.promote_types(g_p.dtype, points.dtype))
+                             jnp.promote_types(g_p.dtype, points.dtype),
+                             plan=plan)

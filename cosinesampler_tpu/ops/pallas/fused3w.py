@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
-from .fused3b import _brick_bin, _geom, _pad_volume, scatter_to_slots
+from .fused3b import (_brick_bin, _geom, _pad_volume, make_plan as
+                      _make_plan_3b, plan_or_bin, scatter_to_slots)
 from .fused3d import _ROW_FACTORS, _ROWS_3D, _XY_PAIRS
 from .fused3s import _z_weights
 from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, cell_weights,
@@ -138,6 +139,15 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
             V3W_MIN_Q, _MIN_Q_PER_BIN * nbins):
         return False
     return True
+
+
+def make_plan(points, in_spatial, cfg: SamplerConfig,
+              q_block: int = V3W_Q_BLOCK):
+    """Precompute the bin plan for a FIXED point set (fused3b.make_plan
+    semantics, with this generation's window-derived y group size)."""
+    d, h, w = in_spatial
+    gy = _win_geom(w, cfg)[2]
+    return _make_plan_3b(points, in_spatial, cfg, q_block=q_block, gy=gy)
 
 
 def _x_prep(coord, size, cfg, off_col):
@@ -295,7 +305,7 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
 def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
                                 q_block: int = V3W_Q_BLOCK,
-                                interpret: bool = False):
+                                interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
 
     ``out_p[:, :, positions] == pallas_fused3w_blend(...)``; padding slots
@@ -310,11 +320,10 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
     npad = _npad(n)
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     nby, nbz, nbins, hp = _geom(d, h, gy, fp)
-    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
-                                                  q_block, gy)
+    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
+        points, d, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
@@ -454,7 +463,7 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
 
 def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
-                    q_block: int, interpret: bool, out_dtype):
+                    q_block: int, interpret: bool, out_dtype, plan=None):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (K_rows*C, QP) f32, slot-ordered per the _brick_bin layout of
@@ -464,14 +473,13 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
     npad = _npad(n)
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     nby, nbz, nbins, hp = _geom(d, h, gy, fp)
-    positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
-                                                  q_block, gy)
+    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
+        points, d, h, cfg, q_block, gy, plan)
     k_rows_c = gq.shape[0]
     c = k_rows_c // 7
     k_rows = 7
     nblocks = qp // q_block
 
-    pts_p = scatter_to_slots(points.astype(jnp.float32), positions, qp)
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
     validf = occ.reshape(nblocks, 1, q_block)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
@@ -551,11 +559,12 @@ def pallas_fused3w_bwd(g, points, in_spatial: Tuple[int, ...],
 def pallas_fused3w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
                               q_block: int = V3W_Q_BLOCK,
-                              interpret: bool = False):
+                              interpret: bool = False, plan=None):
     """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
     pallas_fused3w_blend_padded directly — no scatter pass."""
     k_rows, c, qp = g_p.shape
     gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
     return _bwd_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                            interpret,
-                           jnp.promote_types(g_p.dtype, points.dtype))
+                           jnp.promote_types(g_p.dtype, points.dtype),
+                           plan=plan)
