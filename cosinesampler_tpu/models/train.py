@@ -29,6 +29,12 @@ class TrainConfig:
     lr: float = 1e-3
     seed: int = 0
     fused: bool = True
+    # fixed_points=True reproduces the reference's own training pattern
+    # (one collocation set for the whole run, test_2d.py:23-26 /
+    # test_3d.py:16-19): the batch is drawn once and the sampler's bin
+    # plan (ops.fused.make_sample_plan) is built once, so the
+    # step-per-dispatch loop below stops re-paying the per-step binning.
+    fixed_points: bool = False
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     log_every: int = 50
@@ -52,14 +58,31 @@ def train(cfg: TrainConfig,
         except FileNotFoundError:
             pass
 
-    step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer, fused=cfg.fused))
     gen = PointGenerator(cfg.batch_points, mcfg.dim, seed=cfg.seed)
+    fixed_pts = plan = None
+    if cfg.fixed_points:
+        fixed_pts = jnp.asarray(gen.batch(0))
+        if cfg.fused:
+            from ..ops.fused import make_sample_plan
+            cells_shape = (mcfg.n_cells, mcfg.cell_dim,
+                           *(mcfg.cell_size,) * mcfg.dim)
+            plan = make_sample_plan(fixed_pts, cells_shape, mcfg.sampler)
+
+    if plan is not None:
+        step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
+                                               planned=True))
+    else:
+        step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
+                                               fused=cfg.fused))
 
     metrics: List[Dict] = []
     t_last = time.perf_counter()
     for step in range(start_step, cfg.steps):
-        pts = jnp.asarray(gen.batch(step))
-        params, opt_state, lval = step_fn(params, opt_state, pts)
+        pts = fixed_pts if cfg.fixed_points else jnp.asarray(gen.batch(step))
+        if plan is not None:
+            params, opt_state, lval = step_fn(params, opt_state, pts, plan)
+        else:
+            params, opt_state, lval = step_fn(params, opt_state, pts)
         if (step + 1) % cfg.log_every == 0 or step + 1 == cfg.steps:
             lval = float(jax.block_until_ready(lval))
             now = time.perf_counter()
@@ -101,6 +124,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--no-fused", action="store_true",
                     help="use nested-autodiff instead of the fused kernels")
+    ap.add_argument("--fixed-points", action="store_true",
+                    help="one collocation set for the whole run (the "
+                         "reference's pattern); precomputes the bin plan")
     args = ap.parse_args(argv)
 
     pde = args.pde or ("allen_cahn" if args.dim == 2 else "helmholtz")
@@ -110,6 +136,7 @@ def main(argv=None):
                               cell_size=args.cell_size, pde=pde),
         batch_points=args.batch_points, steps=args.steps, lr=args.lr,
         seed=args.seed, fused=not args.no_fused,
+        fixed_points=args.fixed_points,
         checkpoint_dir=args.checkpoint_dir,
     )
     train(cfg, on_metrics=lambda m: print(json.dumps(m), flush=True))

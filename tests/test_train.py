@@ -37,3 +37,39 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
 def _leaves(tree):
     import jax
     return jax.tree_util.tree_leaves(tree)
+
+
+def test_train_fixed_points_planned(monkeypatch):
+    """fixed_points=True: one collocation set, bin plan built once, and the
+    planned step trains (loss finite + decreasing trend).  Uses the pallas
+    backend in interpret mode so the plan actually routes (the v5 2D
+    windowed kernel needs >= 2048 queries)."""
+    import cosinesampler_tpu.ops.pallas as pb
+    from cosinesampler_tpu.ops.fused import make_sample_plan
+
+    monkeypatch.setattr(pb, "INTERPRET", True)
+    cfg = TrainConfig(
+        model=pinn.PINNConfig(dim=2, n_cells=4, cell_dim=2, cell_size=8,
+                              hidden=8, backend="pallas"),
+        batch_points=2048, steps=3, lr=3e-3, seed=0, fused=True,
+        fixed_points=True, log_every=1,
+    )
+    # the plan must actually route for this config (guards against the
+    # test silently degrading to the unplanned path)
+    probe = make_sample_plan(
+        jnp.zeros((cfg.batch_points, 2), jnp.float32),
+        (4, 2, 8, 8), cfg.model.sampler)
+    assert probe is not None
+    _, metrics = train(cfg)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert metrics[-1]["loss"] < metrics[0]["loss"] * 1.5
+
+
+def test_train_fixed_points_xla_fallback():
+    """fixed_points=True on the XLA backend: no plan routes (fused_plan is
+    a pallas-only registration) and the trainer falls back to the regular
+    fused step on the same fixed batch."""
+    cfg = _cfg()
+    cfg = TrainConfig(**{**cfg.__dict__, "fixed_points": True, "steps": 6})
+    _, metrics = train(cfg)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
