@@ -23,3 +23,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_count():
+    """Free compiled executables between test modules.
+
+    Full-suite runs (~350 tests, one process) have segfaulted inside
+    XLA:CPU's backend_compile_and_load after several hundred cumulative
+    compilations — at different tests on different runs, each of which
+    passes in isolation.  Dropping the executable caches at module
+    boundaries bounds the live-program count; the recompiles cost far
+    less than a crashed suite."""
+    yield
+    import jax
+    jax.clear_caches()

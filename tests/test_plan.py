@@ -157,6 +157,7 @@ def test_planned_fallback_keeps_slot_layout(monkeypatch):
     (f64 routes to XLA) but the planned op must keep the plan's slot
     layout by scattering the query-ordered result."""
     monkeypatch.setattr(pb, "INTERPRET", True)
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         cfg = SamplerConfig(dim=3, backend="pallas")
@@ -171,7 +172,7 @@ def test_planned_fallback_keeps_slot_layout(monkeypatch):
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
         assert qp == plan[1].shape[0]
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def test_train_step_planned_matches_slot_resident(monkeypatch):
