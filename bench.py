@@ -127,30 +127,39 @@ def _kernel_roofline(params, pts, cfg, generation, reps=50):
 
     The kernel is iterated inside ONE jitted scan (with a serializing data
     dependency) so per-dispatch tunnel latency doesn't pollute the number.
+    The binning/slot prep is hoisted out of the measured loop: the plan is
+    precomputed (make_sample_plan) and the serializing dependency runs
+    through the CELLS, so the scan body is the Pallas kernel pass and
+    nothing else — the occupancy number is the kernel's, not the prep's.
     The one-hot-contraction kernels are MXU-bound, not HBM-bound, so the
     meaningful occupancy number is achieved MACs vs the bf16 MXU peak
     (utils/profiling.mxu_roofline).
     """
-    from cosinesampler_tpu.ops.fused import sample_features_padded
+    from cosinesampler_tpu.ops.fused import (make_sample_plan,
+                                             sample_features_padded)
     from cosinesampler_tpu.utils.profiling import (V5E_HBM_GBPS,
                                                    fused_gather_macs,
                                                    mxu_roofline)
+
+    plan = make_sample_plan(pts, params["cells"].shape, cfg.sampler)
 
     @jax.jit
     def many(c, p):
         def body(carry, _):
             # slot API: the kernel pass the train step runs, without the
             # query-order output gather polluting the occupancy number
-            out, _, _ = sample_features_padded(c, carry, cfg.sampler)
-            # serialize: next points depend (non-foldably) on this output
-            carry = carry + 1e-30 * out[0, 0, :p.shape[0], None]
+            out, _, _ = sample_features_padded(carry, p, cfg.sampler,
+                                               plan=plan)
+            # serialize: next cells depend (non-foldably) on this output
+            carry = carry + 1e-30 * out[0, 0, 0]
             return carry, out[0, 0, 0]
-        carry, vals = jax.lax.scan(body, p, None, length=reps)
+        carry, vals = jax.lax.scan(body, c, None, length=reps)
         return vals.sum() + carry.sum()
 
     r = many(params["cells"], pts)
     jax.block_until_ready(r)
-    sec = min(_timed(many, params["cells"], pts * (0.999 - 1e-4 * i))
+    # perturb the CELLS between invocations (the plan is point-set-specific)
+    sec = min(_timed(many, params["cells"] * (0.999 - 1e-4 * i), pts)
               for i in range(3)) / reps
     n, c = params["cells"].shape[:2]
     spatial = params["cells"].shape[2:]

@@ -33,6 +33,29 @@ def _fits_vmem(cells_shape, q_block, whole_stack: bool) -> bool:
     return max(cell_block, stage1) <= _VMEM_BUDGET
 
 
+_GEN_NAMES = {fused2w: "v2w", fused3w: "v3w", fused3b: "v3b"}
+
+
+def _tuned(mod, cfg, cells_shape, n_queries) -> dict:
+    """Autotuned kernel kwargs for this route ({} -> module defaults).
+
+    Consulted at trace time by every entry of a binned generation — the
+    plan builder and the kernels see the same in-process cache snapshot
+    (utils/autotune loads once), so slot layouts always agree.  A tuned
+    value is re-validated against the generation's VMEM gates."""
+    from ...utils import autotune
+
+    params = autotune.lookup(_GEN_NAMES[mod], cells_shape, cfg, n_queries)
+    if not params:
+        return {}
+    try:
+        ok = mod.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries,
+                          **params)
+    except TypeError:   # stale cache entry with a knob this module lacks
+        return {}
+    return params if ok else {}
+
+
 def _f64(*arrays) -> bool:
     """The kernels compute in f32; route f64 requests to the exact XLA
     path instead of silently downcasting."""
@@ -70,20 +93,23 @@ def _fused_blend(cells, points, cfg):
     if _f64(cells, points) or _strict_mixed_align(cfg):
         return None
     if fused2w.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
-        return fused2w.pallas_fused2w_blend(cells, points, cfg,
-                                            interpret=INTERPRET)
+        return fused2w.pallas_fused2w_blend(
+            cells, points, cfg, interpret=INTERPRET,
+            **_tuned(fused2w, cfg, cells.shape, points.shape[0]))
     if fused2d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_blend(cells, points, cfg,
                                            interpret=INTERPRET)
     if fused3w.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
-        return fused3w.pallas_fused3w_blend(cells, points, cfg,
-                                            interpret=INTERPRET)
+        return fused3w.pallas_fused3w_blend(
+            cells, points, cfg, interpret=INTERPRET,
+            **_tuned(fused3w, cfg, cells.shape, points.shape[0]))
     if fused3s.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
         return fused3s.pallas_fused3s_blend(cells, points, cfg,
                                             interpret=INTERPRET)
     if fused3b.supports(cfg, cells.shape, _VMEM_BUDGET, points.shape[0]):
-        return fused3b.pallas_fused3b_blend(cells, points, cfg,
-                                            interpret=INTERPRET)
+        return fused3b.pallas_fused3b_blend(
+            cells, points, cfg, interpret=INTERPRET,
+            **_tuned(fused3b, cfg, cells.shape, points.shape[0]))
     if fused3d.supports(cfg, cells.shape, _VMEM_BUDGET):
         return fused3d.pallas_fused3_blend(cells, points, cfg,
                                            interpret=INTERPRET)
@@ -97,20 +123,23 @@ def _fused_bwd(g, points, in_spatial, cfg, n_cells):
         return None
     shape = (n_cells, g.shape[1], *in_spatial)
     if fused2w.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
-        return fused2w.pallas_fused2w_bwd(g, points, tuple(in_spatial), cfg,
-                                          n_cells, interpret=INTERPRET)
+        return fused2w.pallas_fused2w_bwd(
+            g, points, tuple(in_spatial), cfg, n_cells, interpret=INTERPRET,
+            **_tuned(fused2w, cfg, shape, points.shape[0]))
     if fused2d.supports(cfg, shape, _VMEM_BUDGET):
         return fused2d.pallas_fused2_bwd(g, points, tuple(in_spatial), cfg,
                                          n_cells, interpret=INTERPRET)
     if fused3w.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
-        return fused3w.pallas_fused3w_bwd(g, points, tuple(in_spatial), cfg,
-                                          n_cells, interpret=INTERPRET)
+        return fused3w.pallas_fused3w_bwd(
+            g, points, tuple(in_spatial), cfg, n_cells, interpret=INTERPRET,
+            **_tuned(fused3w, cfg, shape, points.shape[0]))
     if fused3s.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
         return fused3s.pallas_fused3s_bwd(g, points, tuple(in_spatial), cfg,
                                           n_cells, interpret=INTERPRET)
     if fused3b.supports(cfg, shape, _VMEM_BUDGET, points.shape[0]):
-        return fused3b.pallas_fused3b_bwd(g, points, tuple(in_spatial), cfg,
-                                          n_cells, interpret=INTERPRET)
+        return fused3b.pallas_fused3b_bwd(
+            g, points, tuple(in_spatial), cfg, n_cells, interpret=INTERPRET,
+            **_tuned(fused3b, cfg, shape, points.shape[0]))
     if fused3d.supports(cfg, shape, _VMEM_BUDGET):
         return fused3d.pallas_fused3_bwd(g, points, tuple(in_spatial), cfg,
                                          n_cells, interpret=INTERPRET)
@@ -158,7 +187,9 @@ def _fused_padded(cells, points, cfg, plan=None):
     if mod is None:
         return None
     return _PADDED_FNS[mod][0](cells, points, cfg, interpret=INTERPRET,
-                               plan=plan)
+                               plan=plan,
+                               **_tuned(mod, cfg, cells.shape,
+                                        points.shape[0]))
 
 
 def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells, plan=None):
@@ -169,7 +200,8 @@ def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells, plan=None):
     if mod is None:
         return None
     return _PADDED_FNS[mod][1](g_p, points, tuple(in_spatial), cfg, n_cells,
-                               interpret=INTERPRET, plan=plan)
+                               interpret=INTERPRET, plan=plan,
+                               **_tuned(mod, cfg, shape, points.shape[0]))
 
 
 def _fused_plan(points, cells_shape, cfg):
@@ -185,7 +217,8 @@ def _fused_plan(points, cells_shape, cfg):
     mod = _padded_route(cfg, cells_shape, points.shape[0])
     if mod is None:
         return None
-    return mod.make_plan(points, tuple(cells_shape[2:]), cfg)
+    return mod.make_plan(points, tuple(cells_shape[2:]), cfg,
+                         **_tuned(mod, cfg, cells_shape, points.shape[0]))
 
 
 for _dim in (2, 3):

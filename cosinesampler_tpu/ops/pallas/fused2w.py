@@ -55,7 +55,9 @@ def _geom2(h: int, gy: int, fp: int = 2):
 
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
-             n_queries: int | None = None) -> bool:
+             n_queries: int | None = None,
+             q_block: int | None = None) -> bool:
+    q_block = q_block or V2W_Q_BLOCK
     if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, h, w = cells_shape
@@ -65,6 +67,8 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     if 2 * cn * k * 4 > vmem_budget:                # double-buffer scratch
         return False
     if mxu.passes_for(cfg) * cn * k * 2 > vmem_budget:
+        return False
+    if k * q_block * 4 > vmem_budget:               # (K, Qb) hit panel
         return False
     nby, hp = _geom2(h, gy, fp)
     if nby * cn * k * 4 > _WIN_HBM_BUDGET:

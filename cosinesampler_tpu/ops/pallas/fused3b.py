@@ -89,7 +89,10 @@ def _wpad(w: int) -> int:
 
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
-             n_queries: int | None = None) -> bool:
+             n_queries: int | None = None, q_block: int | None = None,
+             gy: int | None = None) -> bool:
+    q_block = q_block or V3B_Q_BLOCK
+    gy = gy or V3B_GY
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, d, h, w = cells_shape
@@ -97,19 +100,19 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     w = _wpad(w)
     fp = front_pad(cfg)
     nsh = n_shifts(cfg)
-    wy = V3B_GY + fp
+    wy = gy + fp
     if nsh * n * c * wy * w * 4 > vmem_budget:      # brick scratch
         return False
-    if nsh * n * c * wy * V3B_Q_BLOCK * 4 > vmem_budget:  # stage-1 panel
+    if nsh * n * c * wy * q_block * 4 > vmem_budget:  # stage-1 panel
         return False
     # in-kernel x one-hot panels (nsh f32 (wpad, Qb)) + the bf16 split
     # copies of the brick rows: a degenerate very-wide-W volume can pass
     # the gates above yet blow VMEM at runtime (see ops/pallas/mxu.py).
-    if nsh * w * V3B_Q_BLOCK * 4 > vmem_budget:
+    if nsh * w * q_block * 4 > vmem_budget:
         return False
     if mxu.passes_for(cfg) * nsh * n * c * wy * w * 2 > vmem_budget:
         return False
-    nby, _, nbins, hp = _geom(d, h, V3B_GY, fp)
+    nby, _, nbins, hp = _geom(d, h, gy, fp)
     if (d + fp + 2) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
         return False
     if n_queries is not None and n_queries < _MIN_Q_PER_BIN * nbins:

@@ -118,7 +118,9 @@ def _win_geom(w: int, cfg: SamplerConfig):
 
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
-             n_queries: int | None = None) -> bool:
+             n_queries: int | None = None,
+             q_block: int | None = None) -> bool:
+    q_block = q_block or V3W_Q_BLOCK
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, d, h, w = cells_shape
@@ -130,7 +132,7 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     # bf16 split copies of the window + the (K, Qb) hit panels
     if mxu.passes_for(cfg) * cn3 * k * 2 > vmem_budget:
         return False
-    if k * V3W_Q_BLOCK * 4 > vmem_budget:
+    if k * q_block * 4 > vmem_budget:
         return False
     nby, nbz, nbins, hp = _geom(d, h, gy, fp)
     if nbins * cn3 * k * 4 > _WIN_HBM_BUDGET:       # window array
