@@ -282,8 +282,8 @@ def _main(argv=None) -> None:  # pragma: no cover - TPU-side CLI
     parser.add_argument("--precision", default="exact")
     args = parser.parse_args(argv)
 
-    from .compile_cache import enable_compile_cache
-    enable_compile_cache()
+    from . import compile_cache
+    compile_cache.enable()
     import jax.numpy as jnp
 
     from ..ops.config import SamplerConfig
