@@ -16,12 +16,11 @@ from ..sampler import register_backend
 from . import fused2d, fused2w, fused3b, fused3d, fused3s, fused3w
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
+from .prep import VMEM_BUDGET as _VMEM_BUDGET
 
 # When True, registered kernels run in the Pallas interpreter (CPU debugging
 # of the full custom_vjp chain against the kernels).
 INTERPRET = False
-
-_VMEM_BUDGET = 6 * 1024 * 1024  # bytes for any single resident buffer
 
 
 def _fits_vmem(cells_shape, q_block, whole_stack: bool) -> bool:
@@ -46,14 +45,22 @@ def _tuned(mod, cfg, cells_shape, n_queries) -> dict:
     from ...utils import autotune
 
     params = autotune.lookup(_GEN_NAMES[mod], cells_shape, cfg, n_queries)
-    if not params:
-        return {}
-    try:
-        ok = mod.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries,
-                          **params)
-    except TypeError:   # stale cache entry with a knob this module lacks
-        return {}
-    return params if ok else {}
+    if params:
+        try:
+            if mod.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries,
+                            **params):
+                return params
+        except TypeError:  # stale cache entry with a knob this module lacks
+            pass
+    # No (valid) tuned entry: resolve the generation's adaptive default
+    # explicitly so the plan builder and the kernels — which see different
+    # argument shapes — agree on the slot layout.
+    pick = getattr(mod, "pick_q_block", None)
+    if pick is not None:
+        qb = pick(cfg, cells_shape, _VMEM_BUDGET)
+        if qb is not None:
+            return {"q_block": qb}
+    return {}
 
 
 def _f64(*arrays) -> bool:

@@ -38,15 +38,30 @@ from ..config import SamplerConfig
 from ..coords import multicell_offsets
 from . import mxu
 from .fused2d import _ROWS_2D
-from .fused3b import _occ_mask, scatter_to_slots
+from .fused3b import (_ONEHOT_RANK_BYTES, _occ_mask, _step_starts,
+                      scatter_to_slots)
 from .fused3w import _win_geom, _x_prep, _y_prep
-from .prep import (FUSED_PADDING_MODES_WIDE, bin_base, front_pad, n_shifts,
-                   npad as _npad)
+from .prep import (FUSED_PADDING_MODES_WIDE, VMEM_BUDGET, bin_base,
+                   front_pad, n_shifts, npad as _npad)
 
 V2W_Q_BLOCK = 512
 V2W_MIN_Q = 2048
 _WIN_HBM_BUDGET = 1 << 30
 _MIN_Q_PER_BIN = 8
+# Largest-first: bigger blocks amortize per-block fixed cost; smaller ones
+# shrink the (K, Qb) hit panel, which is what grows with W.  128 is the
+# Mosaic lane tile, the useful minimum.
+_QB_CANDIDATES = (V2W_Q_BLOCK, 256, 128)
+
+
+def _resolve_qb(cfg, cells_shape, q_block):
+    qb = q_block or pick_q_block(cfg, cells_shape)
+    if qb is None:
+        raise ValueError(
+            f"fused2w: no q_block candidate fits VMEM for cells shape "
+            f"{tuple(cells_shape)}; route through the dispatcher "
+            "(supports() would have rejected this shape)")
+    return qb
 
 
 def _geom2(h: int, gy: int, fp: int = 2):
@@ -54,12 +69,8 @@ def _geom2(h: int, gy: int, fp: int = 2):
     return nby, nby * gy + fp         # (nbins, padded H)
 
 
-def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
-             n_queries: int | None = None,
-             q_block: int | None = None) -> bool:
-    q_block = q_block or V2W_Q_BLOCK
-    if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
-        return False
+def _vmem_ok(cfg: SamplerConfig, cells_shape, vmem_budget: int,
+             q_block: int) -> bool:
     n, c, h, w = cells_shape
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     k = rows * wp
@@ -70,6 +81,37 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
         return False
     if k * q_block * 4 > vmem_budget:               # (K, Qb) hit panel
         return False
+    return True
+
+
+def pick_q_block(cfg: SamplerConfig, cells_shape,
+                 vmem_budget: int = VMEM_BUDGET) -> int | None:
+    """Largest query-block candidate whose buffers fit the VMEM budget.
+
+    K = rows * Wp grows with the grid width, so wide 2D grids (the
+    reference accepts any H, W — cosine_sampler_2d.cpp:57 allocates from
+    the grid shape) only fit with a smaller block; a fixed default would
+    push them off the fast path entirely.  None when no candidate fits.
+    """
+    for qb in _QB_CANDIDATES:
+        if _vmem_ok(cfg, cells_shape, vmem_budget, qb):
+            return qb
+    return None
+
+
+def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
+             n_queries: int | None = None,
+             q_block: int | None = None) -> bool:
+    if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
+        return False
+    q_block = q_block or pick_q_block(cfg, cells_shape, vmem_budget)
+    if q_block is None or not _vmem_ok(cfg, cells_shape, vmem_budget,
+                                       q_block):
+        return False
+    n, c, h, w = cells_shape
+    wp, rows, gy, nsh, fp = _win_geom(w, cfg)
+    k = rows * wp
+    cn = _npad(n) * c
     nby, hp = _geom2(h, gy, fp)
     if nby * cn * k * 4 > _WIN_HBM_BUDGET:
         return False
@@ -91,23 +133,44 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
     base = bin_base(points[:, 1].astype(jnp.float32), h, cfg)
     fy = jnp.floor(jax.lax.stop_gradient(base)).astype(jnp.int32)
     keys = jnp.clip((fy + 2) // gy, 0, nby - 1)
-    onehot = (keys[:, None] == jnp.arange(nby, dtype=jnp.int32)[None, :])
-    counts = onehot.sum(axis=0, dtype=jnp.int32)
-    padded = ((counts + q_block - 1) // q_block) * q_block
-    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    # own-bin rank via mask-sum (take_along_axis is a per-row gather)
-    rank = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - 1
-    rank_at = (rank * onehot).sum(axis=1, dtype=jnp.int32)
-    positions = offs[keys] + rank_at
-
     qp = (pl.cdiv(q, q_block) + nby) * q_block
+    iota = jnp.arange(q, dtype=jnp.int32)
+
+    if q * nby * 4 <= _ONEHOT_RANK_BYTES:
+        # Few bins: sort-free ranks via a (Q, nby) one-hot cumsum; own-bin
+        # rank via mask-sum (take_along_axis is a per-row gather).
+        onehot = (keys[:, None] == jnp.arange(nby, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.int32)
+        counts = onehot.sum(axis=0, dtype=jnp.int32)
+        padded = ((counts + q_block - 1) // q_block) * q_block
+        cum_padded = jnp.cumsum(padded).astype(jnp.int32)
+        offs = cum_padded - padded
+        rank = jnp.cumsum(onehot, axis=0, dtype=jnp.int32) - 1
+        rank_at = (rank * onehot).sum(axis=1, dtype=jnp.int32)
+        positions = offs[keys] + rank_at
+    else:
+        # Many bins (tall grids): the dense one-hot would be Q*nby ints;
+        # sort + bin-boundary scatters instead (fused3b._brick_bin path).
+        skey, perm = jax.lax.sort_key_val(keys, iota)
+        edges = jnp.searchsorted(
+            skey, jnp.arange(nby + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        counts = edges[1:] - edges[:-1]
+        padded = ((counts + q_block - 1) // q_block) * q_block
+        cum_padded = jnp.cumsum(padded).astype(jnp.int32)
+        offs = cum_padded - padded
+        delta = offs - edges[:-1]
+        ddelta = jnp.concatenate([delta[:1], delta[1:] - delta[:-1]])
+        dstep = jnp.zeros((q,), jnp.int32).at[edges[:-1]].add(
+            ddelta, mode="drop")
+        spos = jnp.cumsum(dstep) + iota
+        positions = jnp.zeros((q,), jnp.int32).at[perm].set(spos)
+
     occ = _occ_mask(offs, counts, qp)
     nblocks = qp // q_block
-    start_blocks = offs // q_block
     bidx = jnp.arange(nblocks, dtype=jnp.int32)
-    block_bin = (bidx[:, None] >= start_blocks[None, :]).sum(
-        axis=1, dtype=jnp.int32) - 1
+    block_bin = jnp.minimum(
+        _step_starts(offs, nblocks, granularity=q_block), nby - 1)
     y0_block = block_bin * gy
     hasv = (occ[bidx * q_block] > 0).astype(jnp.int32)
     return positions, occ, y0_block, hasv, qp
@@ -116,7 +179,11 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
 def make_plan(points, in_spatial, cfg: SamplerConfig,
               q_block: int = V2W_Q_BLOCK):
     """Precompute the bin plan for a FIXED point set (fused3b.make_plan
-    rationale): (positions, occ, y0, hasv, pts_p)."""
+    rationale): (positions, occ, y0, hasv, pts_p).
+
+    A plan is only valid for the exact q_block the kernels will run with;
+    the dispatcher (ops/pallas/__init__) resolves the adaptive/tuned block
+    once and passes it to both this and the kernels."""
     h, w = in_spatial
     gy = _win_geom(w, cfg)[2]
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
@@ -234,12 +301,13 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
 def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
-                                q_block: int = V2W_Q_BLOCK,
+                                q_block: int | None = None,
                                 interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (5, C, QP), occ (QP,), positions (Q,)).
 
     Padding slots are zero and flagged by ``occ``; see
     fused3w.pallas_fused3w_blend_padded for the rationale."""
+    q_block = _resolve_qb(cfg, cells.shape, q_block)
     n, c, h, w = cells.shape
     q = points.shape[0]
     npad = _npad(n)   # sublane-aligned ensemble: (C*N, Qb) reshapes free
@@ -303,7 +371,8 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
 def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
-                         q_block: int = V2W_Q_BLOCK, interpret: bool = False):
+                         q_block: int | None = None,
+                         interpret: bool = False):
     """(5, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed 2D)."""
     c = cells.shape[1]
     q = points.shape[0]
@@ -447,10 +516,11 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
                                              "q_block", "interpret"))
 def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
                        cfg: SamplerConfig, n_cells: int,
-                       q_block: int = V2W_Q_BLOCK, interpret: bool = False):
+                       q_block: int | None = None, interpret: bool = False):
     """Cells-cotangent of pallas_fused2w_blend: (N, C, H, W)."""
     h, w = in_spatial
     k_rows, c, q = g.shape
+    q_block = _resolve_qb(cfg, (n_cells, c, h, w), q_block)
     gy = _win_geom(w, cfg)[2]
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
     gq = scatter_to_slots(
@@ -464,11 +534,12 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
                                              "q_block", "interpret"))
 def pallas_fused2w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
-                              q_block: int = V2W_Q_BLOCK,
+                              q_block: int | None = None,
                               interpret: bool = False, plan=None):
     """Cells-cotangent taking the slot-space (5, C, QP) cotangent of
     pallas_fused2w_blend_padded directly — no scatter pass."""
     k_rows, c, qp = g_p.shape
+    q_block = _resolve_qb(cfg, (n_cells, c, *in_spatial), q_block)
     gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
     return _bwd_from_slots2(gq, points, in_spatial, cfg, n_cells, q_block,
                             interpret,

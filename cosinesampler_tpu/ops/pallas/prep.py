@@ -42,6 +42,12 @@ FUSED_PADDING_MODES_WIDE = ("zeros", "border", "reflection")
 #: second-minor dim are layout-free only at multiples of this.
 SUBLANE = 8
 
+#: Conservative per-buffer VMEM budget the dispatch gates check against
+#: (the physical v5e VMEM is 128 MiB, but a kernel holds several buffers
+#: plus Mosaic-managed pipeline copies).  Shared by the dispatcher
+#: (ops/pallas/__init__) and the generations' adaptive block pickers.
+VMEM_BUDGET = 6 * 1024 * 1024
+
 
 def npad(n: int) -> int:
     """Ensemble size padded to the sublane tile, so the fused kernels'

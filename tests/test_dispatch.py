@@ -143,3 +143,18 @@ def test_bwd_dispatch_mirrors_blend(monkeypatch, shape, q, want):
     pts = jnp.zeros((q, CFG3.dim), jnp.float32)
     pb._fused_bwd(g, pts, shape[2:], CFG3, n)
     assert picked and picked[0] == want
+
+
+def test_2d_wide_grid_routes_to_v5_2d(monkeypatch):
+    # large 2D grids fit the windowed kernels with an adaptively smaller
+    # q_block (K = rows*Wp = 4096 at W=1024); previously they fell to XLA
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    assert _route_blend(monkeypatch, (16, 4, 1024, 1024), 1_000_000,
+                        cfg) == "2w"
+
+
+def test_2d_wide_grid_big_ensemble_falls_back_to_xla(monkeypatch):
+    # window scratch scales with N*C*K: no q_block candidate fits
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    assert _route_blend(monkeypatch, (96, 4, 1024, 1024), 1_000_000,
+                        cfg) == "xla"

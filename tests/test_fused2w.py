@@ -103,3 +103,59 @@ def test_supports_gating():
     assert not supports(SamplerConfig(dim=2), (96, 4, 16, 16), budget,
                         n_queries=200)
     assert not supports(SamplerConfig(dim=3), (50, 4, 16, 16, 16), budget)
+
+
+def test_pick_q_block_reference_vs_wide():
+    from cosinesampler_tpu.ops.pallas.fused2w import pick_q_block
+    cfg = SamplerConfig(dim=2)
+    # reference shape: K = 128, the full default block fits
+    assert pick_q_block(cfg, (96, 4, 16, 16)) == 512
+    # wide grid: K = rows*Wp = 4096 -> the (K, Qb) hit panel forces a
+    # smaller block instead of falling off the fast path entirely
+    qb = pick_q_block(cfg, (16, 4, 1024, 1024))
+    assert qb in (128, 256)
+    assert supports(cfg, (16, 4, 1024, 1024), 6 << 20, n_queries=1_000_000)
+    # a wide grid with a big ensemble blows the window scratch: no block
+    # size helps, supports() must reject (-> XLA path)
+    assert pick_q_block(cfg, (96, 4, 1024, 1024)) is None
+    assert not supports(cfg, (96, 4, 1024, 1024), 6 << 20,
+                        n_queries=1_000_000)
+
+
+def test_ybin_sorted_branch_matches_onehot(monkeypatch):
+    """The sort+boundary-scatter binning (tall grids) must produce the
+    exact slot layout of the dense one-hot counting sort."""
+    from cosinesampler_tpu.ops.pallas import fused2w
+    cfg = SamplerConfig(dim=2)
+    rng = np.random.RandomState(11)
+    pts = jnp.asarray(rng.uniform(-1.3, 1.3, (700, 2)), jnp.float32)
+    h, gy, qb = 40, 6, 64
+    ref = [np.asarray(x) for x in fused2w._ybin(pts, h, cfg, qb, gy)[:5]
+           if not np.isscalar(x)]
+    monkeypatch.setattr(fused2w, "_ONEHOT_RANK_BYTES", 0)
+    got = [np.asarray(x) for x in fused2w._ybin(pts, h, cfg, qb, gy)[:5]
+           if not np.isscalar(x)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_v2w_wide_grid_sorted_bin_parity(monkeypatch, padding):
+    """Wide-grid config through the kernels with the sorted binning branch
+    forced on (the branch large grids take at real query counts)."""
+    from cosinesampler_tpu.ops.pallas import fused2w
+    monkeypatch.setattr(fused2w, "_ONEHOT_RANK_BYTES", 0)
+    cfg = SamplerConfig(dim=2, padding_mode=padding, backend="pallas")
+    rng = np.random.RandomState(12)
+    cells = jnp.asarray(rng.rand(3, 2, 40, 130), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-1.2, 1.2, (301, 2)), jnp.float32)
+    want = fused.xla_fused_blend(cells, pts, cfg)
+    got = pallas_fused2w_blend(cells, pts, cfg, q_block=64, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-4)
+    g = jnp.asarray(rng.rand(5, 2, 301), jnp.float32)
+    want_b = fused.xla_fused_bwd(g, pts, (40, 130), cfg, 3)
+    got_b = pallas_fused2w_bwd(g, pts, (40, 130), cfg, 3, q_block=64,
+                               interpret=True)
+    # w'' terms reach ~2e4 here; slot-order accumulation differs from the
+    # XLA scatter order, so allow f32 summation noise at that magnitude.
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-3, atol=2e-4)
