@@ -15,18 +15,24 @@ v4 removes the VMEM residency requirement:
    blocks, so every kernel block's queries share one 3-slab x
    (GY+2)-row "brick" of the volume.
 2. The volume lives in HBM (``pl.ANY``), zero-padded by 2 texels on z
-   and y so brick windows never clamp; each block DMAs its
-   (3, C*N, GY+2, W) brick into VMEM scratch.
+   and y so brick windows never clamp.  Bricks are fetched as SUPER-
+   bricks — one (RB*GY + 2)-row DMA covering RB consecutive y bins of a
+   z slab — because adjacent bins overlap their windows by the front-pad
+   rows and, at the 128^3 sweep's ~8450 bins, the per-bin DMA chain
+   dominated both passes (scripts/ablate_v4.py: 20.75 of 31 ms forward,
+   21 of 42.6 ms backward).  Each block slices its bin's (GY+2)-row
+   window from the resident super-brick at a dynamic row offset.
 3. The 27-corner gather runs as a separable two-stage contraction:
    an MXU stage over x (3 one-hot matmuls at K=W against all
    3*(GY+2)*C*N brick rows) and a VPU stage over the (GY+2)-row window
    (one-hot row blend) — ~3x fewer MXU cycles than contracting 9
    whole-window (y,x) panels.
 4. The gradient scatter is a sequential-grid read-modify-write of the
-   same bricks: TPU Pallas grid steps execute in order on the core, so
-   accumulation is deterministic and race-free without atomics (the
-   CUDA reference leans on fastAtomicAdd for this,
-   cosine_sampler_3d_kernel.cu:506-523).
+   same super-bricks (read once per super-bin, accumulate every block of
+   its rb bins in VMEM, write back once on leaving it): TPU Pallas grid
+   steps execute in order on the core, so accumulation is deterministic
+   and race-free without atomics (the CUDA reference leans on
+   fastAtomicAdd for this, cosine_sampler_3d_kernel.cu:506-523).
 
 Out-of-bounds semantics match the reference CUDA bounds-check-to-zero
 (cosine_sampler_3d_kernel.cu:343-369): the x axis via the one-hot hits,
@@ -58,6 +64,17 @@ from .prep import (FUSED_PADDING_MODES_WIDE, axis_transform, bin_base,
 
 V3B_Q_BLOCK = 128
 V3B_GY = 2            # y rows per bin; brick window is GY + 2 rows
+# y bins per SUPER-brick: consecutive bins in the sort order (same z-slab,
+# adjacent y groups) overlap their bricks by the front-pad rows, so one
+# taller DMA covering RB bins replaces RB overlapping per-bin bricks.
+# Ablation at the 128^3 sweep (scripts/ablate_v4.py): the per-bin brick
+# chain alone cost 20.75 ms of the 31 ms forward (the MXU stage is only
+# ~6 ms), and the backward's serialized per-bin read-modify-write chain
+# 21 ms of 42.6 — ~8450 bins each paying DMA issue+wait latency.  Super-
+# bricks cut the chain ~RB x and the HBM traffic ~(gy+fp)*RB/(RB*gy+fp) x,
+# while the per-block MXU/VPU work is untouched (each block still slices
+# its own bin's wy_rows from the super-brick at a dynamic row offset).
+V3B_RB = 8
 _HBM_BUDGET = 4 << 30  # bytes for the padded HBM-resident volume
 # Below ~this many queries per bin the padding blocks dominate the brick
 # kernels; small clouds on large volumes stay on the XLA path.  Kept LOW
@@ -72,12 +89,16 @@ _MIN_Q_PER_BIN = 2
 _ONEHOT_RANK_BYTES = 64 << 20
 
 
-def _geom(d: int, h: int, gy: int, fp: int = 2):
+def _geom(d: int, h: int, gy: int, fp: int = 2, rb: int = 1):
     """(nby, nbz, nbins, padded H); ``fp`` is the front pad (prep.front_pad):
-    the window spans gy + fp rows, so the padded height carries fp extra."""
+    the window spans gy + fp rows, so the padded height carries fp extra.
+    ``rb`` > 1 rounds the padded height up to whole super-bricks of rb y
+    bins each (the super-brick DMA slice must stay in bounds); the extra
+    rows are zero pad, semantically inert, and do not change the binning
+    (nby/nbins are rb-independent)."""
     nby = -(-(h + 2) // gy)
     nbz = d + 2
-    return nby, nbz, nby * nbz, nby * gy + fp
+    return nby, nbz, nby * nbz, -(-nby // rb) * rb * gy + fp
 
 
 def _wpad(w: int) -> int:
@@ -88,9 +109,30 @@ def _wpad(w: int) -> int:
     return max(-(-w // 128) * 128, 128)
 
 
+# Double-buffered super-brick scratch budget.  Separate from the dispatch
+# vmem_budget heuristic: the pallas_calls run with vmem_limit_bytes=100MB,
+# and the scratch competes mainly with the stage-1 panel, so a generous
+# cap here lets _rb_fit keep the full V3B_RB at the sweep shapes while
+# degrading rb (not dropping the route) for wide-W volumes.
+_SB_SCRATCH_BUDGET = 24 << 20
+
+
+def _rb_fit(cfg: SamplerConfig, n: int, c: int, w: int, gy: int) -> int:
+    """Largest rb in {V3B_RB, .., 1} whose double-buffered super-brick
+    scratch fits the budget (halving so the row count stays DMA-friendly).
+    """
+    nsh = n_shifts(cfg)
+    fp = front_pad(cfg)
+    row_bytes = nsh * c * _npad(n) * _wpad(w) * 4
+    rb = V3B_RB
+    while rb > 1 and 2 * (rb * gy + fp) * row_bytes > _SB_SCRATCH_BUDGET:
+        rb //= 2
+    return rb
+
+
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None, q_block: int | None = None,
-             gy: int | None = None) -> bool:
+             gy: int | None = None, rb: int | None = None) -> bool:
     q_block = q_block or V3B_Q_BLOCK
     gy = gy or V3B_GY
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
@@ -112,7 +154,8 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
         return False
     if mxu.passes_for(cfg) * nsh * n * c * wy * w * 2 > vmem_budget:
         return False
-    nby, _, nbins, hp = _geom(d, h, gy, fp)
+    rb = rb or _rb_fit(cfg, cells_shape[0], c, cells_shape[4], gy)
+    nby, _, nbins, hp = _geom(d, h, gy, fp, rb)
     if (d + fp + 2) * n * c * hp * w * 4 > _HBM_BUDGET:  # padded volume
         return False
     if n_queries is not None and n_queries < _MIN_Q_PER_BIN * nbins:
@@ -227,7 +270,8 @@ def scatter_to_slots(arr, positions, qp):
 
 
 def make_plan(points, in_spatial, cfg: SamplerConfig,
-              q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY):
+              q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+              rb: int | None = None):
     """Precompute the bin plan for a FIXED point set.
 
     At the 1M-point 128^3 sweep the binning (the lax.sort over 1M keys
@@ -242,8 +286,10 @@ def make_plan(points, in_spatial, cfg: SamplerConfig,
     the ``plan=`` kwarg of the padded kernels (or the public
     ``make_sample_plan`` / ``sample_features_padded`` API).  The plan is
     only valid for the exact (points, volume shape, cfg, q_block) it was
-    built from.
+    built from.  ``rb`` (super-brick width) never affects the plan — it is
+    accepted so autotune can pass one kwarg dict to plan and kernels.
     """
+    del rb
     d, h, _ = in_spatial
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
@@ -329,45 +375,55 @@ def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
 
 
 def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          hasv_ref, z0n_ref, y0n_ref, first_ref, hn_ref,
-                          par_ref, off_ref, vol_ref, out_ref, scratch, sem,
-                          *, cfg, spatial, gy, q_block, channels,
+                          ys_ref, hasv_ref, z0n_ref, ysn_ref, first_ref,
+                          sbf_ref, sbl_ref, par_ref, off_ref, vol_ref,
+                          out_ref, scratch, sem,
+                          *, cfg, spatial, gy, rb, q_block, channels,
                           n_cells, wpad):
     d, h, w = spatial
     c = channels
     n = n_cells
     nsh = n_shifts(cfg)
     wy_rows = gy + front_pad(cfg)
+    rows_s = rb * gy + front_pad(cfg)
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
+    ys = ys_ref[0, 0, 0]
     p = par_ref[0, 0, 0]
 
-    # Double-buffered brick prefetch across grid steps: block i waits for
-    # the DMA that block i-1 started into slot i%2 and starts block i+1's
-    # brick into the other slot.  Scratch/semaphores persist across the
-    # sequential TPU grid.  The chain runs only over the real-block PREFIX
-    # (_brick_bin packs every real block before every padding block): the
-    # last real block has hn=0 and starts nothing, and padding blocks skip
-    # the wait entirely — at the 128^3 sweep they are ~half the grid, and
-    # each skipped wait is a serialized 393 KB brick copy.
+    # Double-buffered SUPER-brick prefetch across grid steps: one DMA per
+    # rb consecutive y bins (rb*gy + fp rows — consecutive bins in the
+    # sort order overlap their bricks by the fp front-pad rows, so the
+    # tall copy dedupes that traffic too).  The first block of a super-bin
+    # (sbf) waits for the copy its predecessor started; the last block of
+    # a super-bin (sbl) starts the next super-bin's copy into the other
+    # slot; every other block just slices the resident scratch.  Scratch /
+    # semaphores persist across the sequential TPU grid, and the chain
+    # runs only over the real-block PREFIX (_brick_bin packs every real
+    # block before every padding block).  Ablation motivation
+    # (scripts/ablate_v4.py, 128^3 / 1M pts): the per-bin brick chain was
+    # 20.75 ms of the 31 ms forward — ~8450 bins each paying DMA
+    # issue+wait latency — while the MXU stage was only ~6 ms.
     cn3 = nsh * c * n
 
-    def brick_dma(slot, zz, yy):
+    def sbrick_dma(slot, zz, yy):
         return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(yy, wy_rows), pl.ds(zz, nsh)],
-            scratch.at[pl.ds(wy_rows * slot, wy_rows)], sem.at[slot])
+            vol_ref.at[pl.ds(yy, rows_s), pl.ds(zz, nsh)],
+            scratch.at[pl.ds(rows_s * slot, rows_s)], sem.at[slot])
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
         @pl.when(first_ref[0, 0, 0] > 0)
         def _():
-            brick_dma(p, z0, y0).start()
+            sbrick_dma(p, z0, ys).start()
 
-        brick_dma(p, z0, y0).wait()
-
-        @pl.when(hn_ref[0, 0, 0] > 0)
+        @pl.when(sbf_ref[0, 0, 0] > 0)
         def _():
-            brick_dma(1 - p, z0n_ref[0, 0, 0], y0n_ref[0, 0, 0]).start()
+            sbrick_dma(p, z0, ys).wait()
+
+        @pl.when(sbl_ref[0, 0, 0] > 0)
+        def _():
+            sbrick_dma(1 - p, z0n_ref[0, 0, 0], ysn_ref[0, 0, 0]).start()
 
         valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
@@ -376,10 +432,12 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                                             q_block, y0, gy)
         wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
-        # stage 1 (MXU): contract x against every brick row.  M order is
-        # (window row, slab, c, n) — the brick DMA's row-major landing —
-        # so stage 2 slices rows at cn3 granularity, tile-aligned.
-        rows = scratch[pl.ds(wy_rows * p, wy_rows)].reshape(
+        # stage 1 (MXU): contract x against every row of this block's bin
+        # window — wy_rows rows sliced from the super-brick at the bin's
+        # dynamic row offset.  M order is (window row, slab, c, n) — the
+        # brick DMA's row-major landing — so stage 2 slices rows at cn3
+        # granularity, tile-aligned.
+        rows = scratch[pl.ds(rows_s * p + (y0 - ys), wy_rows)].reshape(
             wy_rows * cn3, wpad)
         terms = mxu.split_bf16(rows, mxu.passes_for(cfg))
         b1 = [
@@ -418,10 +476,11 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy",
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
                                              "interpret"))
 def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                 q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                                rb: int | None = None,
                                 interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
 
@@ -436,7 +495,8 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     npad = _npad(n)
     fp = front_pad(cfg)
     nsh = n_shifts(cfg)
-    nby, _, _, hp = _geom(d, h, gy, fp)
+    rb = rb or _rb_fit(cfg, n, c, w, gy)
+    nby, _, _, hp = _geom(d, h, gy, fp, rb)
     wp = _wpad(w)
     positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
         points, d, h, cfg, q_block, gy, plan)
@@ -449,18 +509,28 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
     vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp, fp)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
+    # Super-bin metadata: sbk identifies the block's super-brick (rb
+    # consecutive y bins of one z slab — consecutive in the sort order),
+    # ys its row origin.  sbf: first block of its super-bin (waits on the
+    # DMA); sbl: last block whose successor is real (starts the next
+    # super-bin's DMA); parity alternates the scratch slot per super-bin.
+    ybin = y0 // gy
+    sbk = z0 * nby + (ybin // rb) * rb
+    ys = (ybin // rb) * (rb * gy)
     z0n = jnp.roll(z0, -1).at[-1].set(z0[-1])
-    y0n = jnp.roll(y0, -1).at[-1].set(y0[-1])
+    ysn = jnp.roll(ys, -1).at[-1].set(ys[-1])
     first = (bi == 0).astype(jnp.int32)
-    hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
-    parity = (bi % 2).astype(jnp.int32)
+    sbf = ((bi == 0) | (sbk != jnp.roll(sbk, 1))).astype(jnp.int32)
+    hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real
+    sbl = ((sbk != jnp.roll(sbk, -1)) & (hn > 0)).astype(jnp.int32)
+    parity = ((jnp.cumsum(sbf) - 1) % 2).astype(jnp.int32)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                               memory_space=pltpu.VMEM)
     meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
-        _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+        _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy, rb=rb,
         q_block=q_block, channels=c, n_cells=npad, wpad=wp)
     out = pl.pallas_call(
         kernel,
@@ -469,8 +539,9 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec,
+            meta_spec, meta_spec, meta_spec, meta_spec,
             meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
+            meta_spec,
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -479,7 +550,8 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2 * (gy + fp), nsh, c * npad, wp), jnp.float32),
+            pltpu.VMEM((2 * (rb * gy + fp), nsh, c * npad, wp),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -488,52 +560,66 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
         interpret=interpret,
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1),
-      z0n.reshape(nblocks, 1, 1), y0n.reshape(nblocks, 1, 1),
-      first.reshape(nblocks, 1, 1), hn.reshape(nblocks, 1, 1),
-      parity.reshape(nblocks, 1, 1), offsets, vol)
+      ys.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
+      z0n.reshape(nblocks, 1, 1), ysn.reshape(nblocks, 1, 1),
+      first.reshape(nblocks, 1, 1), sbf.reshape(nblocks, 1, 1),
+      sbl.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
+      offsets, vol)
     dtype = jnp.promote_types(cells.dtype, points.dtype)
     return out.reshape(7, c, qp).astype(dtype), occ, positions
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy",
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
                                              "interpret"))
 def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                          q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                         interpret: bool = False):
+                         rb: int | None = None, interpret: bool = False):
     """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
     c = cells.shape[1]
     q = points.shape[0]
     out_p, _, positions = pallas_fused3b_blend_padded(
-        cells, points, cfg, q_block=q_block, gy=gy, interpret=interpret)
+        cells, points, cfg, q_block=q_block, gy=gy, rb=rb,
+        interpret=interpret)
     qp = out_p.shape[-1]
     return out_p.reshape(7 * c, qp)[:, positions].reshape(7, c, q)
 
 
 def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                        hasv_ref, sp_ref, sn_ref, off_ref, g_ref, vol0_ref,
-                        out_ref, scratch, sem_in, sem_out, *, cfg, spatial,
-                        gy, q_block, channels, n_cells, wpad):
+                        ys_ref, hasv_ref, sp_ref, sn_ref, off_ref, g_ref,
+                        vol0_ref, out_ref, scratch, sem_in, sem_out, *, cfg,
+                        spatial, gy, rb, q_block, channels, n_cells, wpad):
     del vol0_ref  # aliased to out_ref; zero-initialized by XLA
     d, h, w = spatial
     c = channels
     n = n_cells
     nsh = n_shifts(cfg)
     wy_rows = gy + front_pad(cfg)
+    rows_s = rb * gy + front_pad(cfg)
     z0 = z0_ref[0, 0, 0]
     y0 = y0_ref[0, 0, 0]
+    ys = ys_ref[0, 0, 0]
 
     cn3 = nsh * c * n
 
     @pl.when(hasv_ref[0, 0, 0] > 0)
     def _():
-        # Same-bin RMW elision: when the previous block already holds this
-        # bin's brick in scratch (sp), skip the read; when the next block
-        # continues this bin (sn), defer the writeback to it.  Bins pad to
-        # whole blocks with real blocks first, so a deferring block's
-        # successor always computes (hasv folded into sn host-side).
+        # Same-SUPER-bin RMW elision: the scatter accumulates into a
+        # rb-bin-tall super-brick held in scratch.  When the previous
+        # block already holds this super-brick (sp), skip the read; when
+        # the next block continues it (sn), defer the writeback.  Each
+        # block adds its contribution at its bin's dynamic row offset
+        # inside the super-brick.  Ablation motivation (ablate_v4.py,
+        # 128^3 / 1M pts): the per-bin read-modify-write chain was 21 ms
+        # of the 42.6 ms backward; super-bricks cut the chain ~rb x and
+        # dedupe the fp-row overlap traffic between adjacent bins.
+        # Bins pad to whole blocks with real blocks first, so a deferring
+        # block's successor always computes (hasv folded into sn
+        # host-side).  Correctness of overlapping reads (adjacent super-
+        # bricks share fp rows; z-adjacent slabs overlap too): grid steps
+        # run sequentially and the writeback is synchronous, so a read
+        # always sees every earlier writeback.
         cp = pltpu.make_async_copy(
-            out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, nsh)],
+            out_ref.at[pl.ds(ys, rows_s), pl.ds(z0, nsh)],
             scratch, sem_in)
 
         @pl.when(sp_ref[0, 0, 0] == 0)
@@ -579,14 +665,16 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         @pl.when(sp_ref[0, 0, 0] == 0)
         def _():
             cp.wait()
-        scratch[...] = scratch[...] + contrib.reshape(wy_rows, nsh, c * n,
-                                                      wpad)
+        dy = y0 - ys
+        scratch[pl.ds(dy, wy_rows)] = (
+            scratch[pl.ds(dy, wy_rows)]
+            + contrib.reshape(wy_rows, nsh, c * n, wpad))
 
         @pl.when(sn_ref[0, 0, 0] == 0)
         def _():
             cp2 = pltpu.make_async_copy(
                 scratch,
-                out_ref.at[pl.ds(y0, wy_rows), pl.ds(z0, nsh)],
+                out_ref.at[pl.ds(ys, rows_s), pl.ds(z0, nsh)],
                 sem_out)
             cp2.start()
             cp2.wait()
@@ -594,7 +682,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
 
 def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
                       n_cells: int, q_block: int, gy: int, interpret: bool,
-                      out_dtype, plan=None):
+                      out_dtype, rb: int | None = None, plan=None):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (7*C, QP) f32, slot-ordered per the _brick_bin layout of
@@ -604,12 +692,13 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     npad = _npad(n)
     fp = front_pad(cfg)
     nsh = n_shifts(cfg)
-    nby, _, _, hp = _geom(d, h, gy, fp)
+    k_rows = 7
+    c = gq.shape[0] // k_rows
+    rb = rb or _rb_fit(cfg, n, c, w, gy)
+    nby, _, _, hp = _geom(d, h, gy, fp, rb)
     wp = _wpad(w)
     positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
         points, d, h, cfg, q_block, gy, plan)
-    k_rows = 7
-    c = gq.shape[0] // k_rows
     nblocks = qp // q_block
 
     axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
@@ -618,8 +707,11 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     vol0 = jnp.zeros((hp, d + fp + 2, c * npad, wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
+    ybin = y0 // gy
+    sbk = z0 * nby + (ybin // rb) * rb
+    ys = (ybin // rb) * (rb * gy)
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
-    same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
+    same = sbk == jnp.roll(sbk, -1)
     sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
     sp = jnp.roll(sn, 1).at[0].set(0)
 
@@ -628,7 +720,7 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(
-        _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+        _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy, rb=rb,
         q_block=q_block, channels=c, n_cells=npad, wpad=wp)
     acc = pl.pallas_call(
         kernel,
@@ -638,6 +730,7 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
             pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
+            meta_spec,
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
@@ -648,17 +741,17 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
         out_shape=jax.ShapeDtypeStruct((hp, d + fp + 2, c * npad, wp),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((gy + fp, nsh, c * npad, wp), jnp.float32),
+            pltpu.VMEM((rb * gy + fp, nsh, c * npad, wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={11: 0},
+        input_output_aliases={12: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*axes, validf,
       z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1),
+      ys.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
       sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
       offsets, gq, vol0)
     acc = acc.reshape(hp, d + fp + 2, c, npad,
@@ -667,11 +760,12 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "gy", "interpret"))
+                                             "q_block", "gy", "rb",
+                                             "interpret"))
 def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
                        cfg: SamplerConfig, n_cells: int,
                        q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                       interpret: bool = False):
+                       rb: int | None = None, interpret: bool = False):
     """Cells-cotangent of pallas_fused3b_blend: (N, C, D, H, W)."""
     d, h, w = in_spatial
     k_rows, c, q = g.shape
@@ -681,14 +775,17 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
         g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                              gy, interpret,
-                             jnp.promote_types(g.dtype, points.dtype))
+                             jnp.promote_types(g.dtype, points.dtype),
+                             rb=rb)
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "gy", "interpret"))
+                                             "q_block", "gy", "rb",
+                                             "interpret"))
 def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
                               q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                              rb: int | None = None,
                               interpret: bool = False, plan=None):
     """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
     pallas_fused3b_blend_padded directly — no scatter pass."""
@@ -697,4 +794,4 @@ def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
     return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                              gy, interpret,
                              jnp.promote_types(g_p.dtype, points.dtype),
-                             plan=plan)
+                             rb=rb, plan=plan)
