@@ -291,9 +291,10 @@ def _bench_large_sweep():
         from cosinesampler_tpu.ops.fused import make_sample_plan
         step_pl = jax.jit(pinn.make_train_step(pcfg, optimizer,
                                                planned=True))
-        plan_of = jax.jit(
-            lambda p: make_sample_plan(p, (16, 4, 128, 128, 128),
-                                       pcfg.sampler))
+        # eager, NOT jitted: make_sample_plan trims the all-padding tail
+        # blocks only when the plan is concrete (ops.fused.trim_plan)
+        plan_of = lambda p: make_sample_plan(p, (16, 4, 128, 128, 128),
+                                             pcfg.sampler)
 
         @jax.jit
         def many_step_pl(params, opt_state, p, plan):

@@ -353,6 +353,45 @@ def make_fused_planned(cfg: SamplerConfig, n_cells: int,
     return fused_pl
 
 
+def trim_plan(plan, block_bucket: int | None = None):
+    """Slice a CONCRETE bin plan to its used block prefix.
+
+    The slot layout's padded size is a static worst case — every bin
+    padded to whole query blocks, ``cdiv(q, qb) + nbins`` blocks — and
+    the unused tail blocks (hasv == 0) still pay per-grid-step cost in
+    every kernel pass (~1.2 us/block on v5e; at the 128^3 sweep that
+    tail is ~3.2k of 16.3k blocks).  When the plan is built EAGERLY (the
+    fixed-point trainer / make_sample_plan outside jit), the real prefix
+    length is concrete, so the per-slot and per-block arrays can simply
+    be sliced to it — every padded kernel reads its grid size from the
+    plan shapes.  Under a tracer this is a no-op (shapes must stay
+    static).  The trimmed length rounds up to ``block_bucket`` blocks
+    (default: 1/16 of the untrimmed bound) so that rebuilding a plan for
+    a slightly different point set of the same size usually reproduces
+    the same shapes — an exact trim would make every downstream jit
+    shape data-dependent and recompile per point set.  Works on any
+    generation's plan: the layout is (positions, occ, *per_block_meta,
+    hasv, pts_p) with real blocks packed first.
+    """
+    if plan is None:
+        return None
+    occ, hasv = plan[1], plan[-2]
+    try:
+        h = np.asarray(hasv)
+    except jax.errors.TracerArrayConversionError:
+        return plan
+    nb_total = h.shape[0]
+    nb = int(h.nonzero()[0].max()) + 1 if h.any() else 1
+    bucket = block_bucket or max(1, nb_total // 16)
+    nb = min(-(-nb // bucket) * bucket, nb_total)
+    if nb == nb_total:
+        return plan
+    qp = occ.shape[0]
+    qp_used = nb * (qp // nb_total)
+    return tuple([plan[0]] + [a[:qp_used] if a.shape[0] == qp else a[:nb]
+                              for a in plan[1:]])
+
+
 def make_sample_plan(points, cells_shape, cfg: SamplerConfig):
     """Precompute the bin plan for a FIXED point set, or None.
 
@@ -372,7 +411,7 @@ def make_sample_plan(points, cells_shape, cfg: SamplerConfig):
     fn = _resolve_fused(cfg, "fused_plan")
     if fn is None:
         return None
-    return fn(points, tuple(cells_shape), cfg)
+    return trim_plan(fn(points, tuple(cells_shape), cfg))
 
 
 def sample_features_padded(cells, points, cfg: SamplerConfig, plan=None):

@@ -374,9 +374,18 @@ def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
     return hits, cell_weights(base, ixn, scale, cfg)
 
 
-def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          ys_ref, hasv_ref, z0n_ref, ysn_ref, first_ref,
-                          sbf_ref, sbl_ref, par_ref, off_ref, vol_ref,
+# SMEM metadata vector layout of the blend kernel: per-block scalars are
+# shipped as ONE (1, 1, 10) int32 row instead of ten (1, 1, 1) inputs —
+# each BlockSpec input is a separate per-grid-step copy with its own issue
+# overhead, and at the 128^3 sweep's ~16k blocks the per-block fixed cost
+# is the forward's floor (scripts/ablate_v4.py: 20.9 ms "copy" stage with
+# the MXU stage only ~6 ms).  Same motive for packing x/y/z/valid into one
+# (1, 4, q_block) VMEM block.
+_B_Z0, _B_Y0, _B_YS, _B_HASV, _B_NZ0, _B_NYS, _B_FIRST, _B_SBF, \
+    _B_NHAS, _B_PAR = range(10)
+
+
+def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
                           out_ref, scratch, sem,
                           *, cfg, spatial, gy, rb, q_block, channels,
                           n_cells, wpad):
@@ -386,24 +395,23 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     nsh = n_shifts(cfg)
     wy_rows = gy + front_pad(cfg)
     rows_s = rb * gy + front_pad(cfg)
-    z0 = z0_ref[0, 0, 0]
-    y0 = y0_ref[0, 0, 0]
-    ys = ys_ref[0, 0, 0]
-    p = par_ref[0, 0, 0]
+    z0 = meta_ref[0, 0, _B_Z0]
+    y0 = meta_ref[0, 0, _B_Y0]
+    ys = meta_ref[0, 0, _B_YS]
+    p = meta_ref[0, 0, _B_PAR]
 
     # Double-buffered SUPER-brick prefetch across grid steps: one DMA per
     # rb consecutive y bins (rb*gy + fp rows — consecutive bins in the
     # sort order overlap their bricks by the fp front-pad rows, so the
     # tall copy dedupes that traffic too).  The first block of a super-bin
-    # (sbf) waits for the copy its predecessor started; the last block of
-    # a super-bin (sbl) starts the next super-bin's copy into the other
-    # slot; every other block just slices the resident scratch.  Scratch /
-    # semaphores persist across the sequential TPU grid, and the chain
-    # runs only over the real-block PREFIX (_brick_bin packs every real
-    # block before every padding block).  Ablation motivation
-    # (scripts/ablate_v4.py, 128^3 / 1M pts): the per-bin brick chain was
-    # 20.75 ms of the 31 ms forward — ~8450 bins each paying DMA
-    # issue+wait latency — while the MXU stage was only ~6 ms.
+    # (sbf) waits for the copy started a whole super-bin earlier, then
+    # immediately starts the NEXT super-bin's copy into the other slot —
+    # safe, because that slot's last reader was the super-bin that just
+    # ended — so every copy has a full super-bin of compute to hide
+    # behind; every other block just slices the resident scratch.
+    # Scratch / semaphores persist across the sequential TPU grid, and
+    # the chain runs only over the real-block PREFIX (_brick_bin packs
+    # every real block before every padding block).
     cn3 = nsh * c * n
 
     def sbrick_dma(slot, zz, yy):
@@ -411,26 +419,29 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             vol_ref.at[pl.ds(yy, rows_s), pl.ds(zz, nsh)],
             scratch.at[pl.ds(rows_s * slot, rows_s)], sem.at[slot])
 
-    @pl.when(hasv_ref[0, 0, 0] > 0)
+    @pl.when(meta_ref[0, 0, _B_HASV] > 0)
     def _():
-        @pl.when(first_ref[0, 0, 0] > 0)
+        @pl.when(meta_ref[0, 0, _B_FIRST] > 0)
         def _():
             sbrick_dma(p, z0, ys).start()
 
-        @pl.when(sbf_ref[0, 0, 0] > 0)
+        @pl.when(meta_ref[0, 0, _B_SBF] > 0)
         def _():
             sbrick_dma(p, z0, ys).wait()
 
-        @pl.when(sbl_ref[0, 0, 0] > 0)
+        @pl.when((meta_ref[0, 0, _B_SBF] > 0)
+                 & (meta_ref[0, 0, _B_NHAS] > 0))
         def _():
-            sbrick_dma(1 - p, z0n_ref[0, 0, 0], ysn_ref[0, 0, 0]).start()
+            sbrick_dma(1 - p, meta_ref[0, 0, _B_NZ0],
+                       meta_ref[0, 0, _B_NYS]).start()
 
-        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        valid = (xyzv_ref[0, 3] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
-        hyl, wyw, ymask = _axis_prep_window(y_ref[0], h, cfg, off_col,
-                                            q_block, y0, gy)
-        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        hx, wx = _axis_prep_wp(xyzv_ref[0, 0:1], w, wpad, cfg, off_col,
+                               q_block)
+        hyl, wyw, ymask = _axis_prep_window(xyzv_ref[0, 1:2], h, cfg,
+                                            off_col, q_block, y0, gy)
+        wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
         # stage 1 (MXU): contract x against every row of this block's bin
         # window — wy_rows rows sliced from the super-brick at the bin's
@@ -469,9 +480,9 @@ def _fused3b_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                     rows_acc[r] = rows_acc[r] + pair[pi] * zv[kz]
         out = jnp.concatenate(
             [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
-        out_ref[:] = out * mask
+        out_ref[0] = out * mask
 
-    @pl.when(hasv_ref[0, 0, 0] == 0)
+    @pl.when(meta_ref[0, 0, _B_HASV] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -502,8 +513,9 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
         points, d, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = occ.reshape(nblocks, 1, q_block)
+    xyzv = jnp.concatenate(
+        [pts_p.T, occ[None].astype(jnp.float32)], axis=0
+    ).reshape(4, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
@@ -511,9 +523,15 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     # Super-bin metadata: sbk identifies the block's super-brick (rb
     # consecutive y bins of one z slab — consecutive in the sort order),
-    # ys its row origin.  sbf: first block of its super-bin (waits on the
-    # DMA); sbl: last block whose successor is real (starts the next
-    # super-bin's DMA); parity alternates the scratch slot per super-bin.
+    # ys its row origin.  sbf: first block of its super-bin — it waits on
+    # its own super-brick's DMA and immediately starts the NEXT super-
+    # bin's into the other slot, so that copy is in flight for the whole
+    # current super-bin (prefetching at the LAST block instead left only
+    # one block of compute to hide it behind, a measurable stall at ~1k
+    # super-bins).  The next super-bin's origin is a per-segment value:
+    # the (z0n, ysn, hn) at the segment's LAST block, broadcast back to
+    # every block of the segment via a drop-scatter over segment ordinals
+    # + gather.  parity alternates the scratch slot per super-bin.
     ybin = y0 // gy
     sbk = z0 * nby + (ybin // rb) * rb
     ys = (ybin // rb) * (rb * gy)
@@ -522,13 +540,20 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     first = (bi == 0).astype(jnp.int32)
     sbf = ((bi == 0) | (sbk != jnp.roll(sbk, 1))).astype(jnp.int32)
     hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real
-    sbl = ((sbk != jnp.roll(sbk, -1)) & (hn > 0)).astype(jnp.int32)
-    parity = ((jnp.cumsum(sbf) - 1) % 2).astype(jnp.int32)
+    seg = jnp.cumsum(sbf) - 1               # super-bin ordinal per block
+    is_last = (sbk != jnp.roll(sbk, -1)).at[-1].set(True)
+    idx = jnp.where(is_last, seg, nblocks)
+    nz0 = jnp.zeros((nblocks,), z0.dtype).at[idx].set(
+        z0n, mode="drop")[seg]
+    nys = jnp.zeros((nblocks,), ys.dtype).at[idx].set(
+        ysn, mode="drop")[seg]
+    nhas = jnp.zeros((nblocks,), hn.dtype).at[idx].set(
+        hn, mode="drop")[seg]
+    parity = (seg % 2).astype(jnp.int32)
 
-    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
-                             memory_space=pltpu.SMEM)
+    meta = jnp.stack(
+        [z0, y0, ys, hasv, nz0, nys, first, sbf, nhas, parity],
+        axis=1).astype(jnp.int32).reshape(nblocks, 1, 10)
     kernel = functools.partial(
         _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy, rb=rb,
         q_block=q_block, channels=c, n_cells=npad, wpad=wp)
@@ -536,19 +561,23 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
         kernel,
         grid=(nblocks,),
         in_specs=[
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 4, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec, meta_spec,
-            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
-            meta_spec,
+            pl.BlockSpec((1, 1, 10), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((7 * c, q_block), lambda qi: (0, qi),
+        # block-contiguous output: (nblocks, 7C, Qb) makes every block's
+        # writeback ONE linear 14 KB DMA instead of 7C strided 512 B rows
+        # of a (7C, QP) array — at ~13k grid blocks the strided descriptor
+        # latency was a per-block floor.  The query-major layout is
+        # restored host-side (one cheap XLA transpose).
+        out_specs=pl.BlockSpec((1, 7 * c, q_block), lambda qi: (qi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 7 * c, q_block),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * (rb * gy + fp), nsh, c * npad, wp),
                        jnp.float32),
@@ -558,15 +587,10 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*axes, validf,
-      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      ys.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
-      z0n.reshape(nblocks, 1, 1), ysn.reshape(nblocks, 1, 1),
-      first.reshape(nblocks, 1, 1), sbf.reshape(nblocks, 1, 1),
-      sbl.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
-      offsets, vol)
+    )(xyzv, meta, offsets, vol)
+    out = out.transpose(1, 0, 2).reshape(7, c, qp)
     dtype = jnp.promote_types(cells.dtype, points.dtype)
-    return out.reshape(7, c, qp).astype(dtype), occ, positions
+    return out.astype(dtype), occ, positions
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
@@ -584,8 +608,12 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
     return out_p.reshape(7 * c, qp)[:, positions].reshape(7, c, q)
 
 
-def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                        ys_ref, hasv_ref, sp_ref, sn_ref, off_ref, g_ref,
+# SMEM metadata vector layout of the bwd kernel (see the blend kernel's
+# packing note).
+_BW_Z0, _BW_Y0, _BW_YS, _BW_HASV, _BW_SP, _BW_SN = range(6)
+
+
+def _fused3b_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref,
                         vol0_ref, out_ref, scratch, sem_in, sem_out, *, cfg,
                         spatial, gy, rb, q_block, channels, n_cells, wpad):
     del vol0_ref  # aliased to out_ref; zero-initialized by XLA
@@ -595,13 +623,13 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     nsh = n_shifts(cfg)
     wy_rows = gy + front_pad(cfg)
     rows_s = rb * gy + front_pad(cfg)
-    z0 = z0_ref[0, 0, 0]
-    y0 = y0_ref[0, 0, 0]
-    ys = ys_ref[0, 0, 0]
+    z0 = meta_ref[0, 0, _BW_Z0]
+    y0 = meta_ref[0, 0, _BW_Y0]
+    ys = meta_ref[0, 0, _BW_YS]
 
     cn3 = nsh * c * n
 
-    @pl.when(hasv_ref[0, 0, 0] > 0)
+    @pl.when(meta_ref[0, 0, _BW_HASV] > 0)
     def _():
         # Same-SUPER-bin RMW elision: the scatter accumulates into a
         # rb-bin-tall super-brick held in scratch.  When the previous
@@ -622,18 +650,19 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             out_ref.at[pl.ds(ys, rows_s), pl.ds(z0, nsh)],
             scratch, sem_in)
 
-        @pl.when(sp_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _BW_SP] == 0)
         def _():
             cp.start()
-        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        valid = (xyzv_ref[0, 3] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        hx, wx = _axis_prep_wp(x_ref[0], w, wpad, cfg, off_col, q_block)
-        hyl, wyw, ymask = _axis_prep_window(y_ref[0], h, cfg, off_col,
-                                            q_block, y0, gy)
-        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        hx, wx = _axis_prep_wp(xyzv_ref[0, 0:1], w, wpad, cfg, off_col,
+                               q_block)
+        hyl, wyw, ymask = _axis_prep_window(xyzv_ref[0, 1:2], h, cfg,
+                                            off_col, q_block, y0, gy)
+        wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
 
-        g = g_ref[:].reshape(7, c, q_block)
+        g = g_ref[0].reshape(7, c, q_block)
         gv = [g[r] * mask for r in range(7)]
 
         contrib = jnp.zeros((wy_rows * cn3, wpad), jnp.float32)
@@ -662,7 +691,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             # stage 2 (MXU): scatter over x via the one-hot transpose
             contrib = contrib + mxu.onehot_dot(
                 u, hx[i], (((1,), (1,)), ((), ())))        # (rows, W)
-        @pl.when(sp_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _BW_SP] == 0)
         def _():
             cp.wait()
         dy = y0 - ys
@@ -670,7 +699,7 @@ def _fused3b_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             scratch[pl.ds(dy, wy_rows)]
             + contrib.reshape(wy_rows, nsh, c * n, wpad))
 
-        @pl.when(sn_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _BW_SN] == 0)
         def _():
             cp2 = pltpu.make_async_copy(
                 scratch,
@@ -701,8 +730,9 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
         points, d, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = occ.reshape(nblocks, 1, q_block)
+    xyzv = jnp.concatenate(
+        [pts_p.T, occ[None].astype(jnp.float32)], axis=0
+    ).reshape(4, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     vol0 = jnp.zeros((hp, d + fp + 2, c * npad, wp), jnp.float32)
@@ -714,11 +744,12 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     same = sbk == jnp.roll(sbk, -1)
     sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
     sp = jnp.roll(sn, 1).at[0].set(0)
+    meta = jnp.stack([z0, y0, ys, hasv, sp, sn],
+                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 6)
+    # block-contiguous cotangent: each block reads ONE linear 14 KB slab
+    # instead of 7C strided 512 B rows (see the blend kernel's out note)
+    gq = gq.reshape(k_rows * c, nblocks, q_block).transpose(1, 0, 2)
 
-    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
-                             memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy, rb=rb,
         q_block=q_block, channels=c, n_cells=npad, wpad=wp)
@@ -726,14 +757,13 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
         kernel,
         grid=(nblocks,),
         in_specs=[
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 4, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
-            meta_spec,
+            pl.BlockSpec((1, 1, 6), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
+            pl.BlockSpec((1, k_rows * c, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -744,16 +774,12 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
             pltpu.VMEM((rb * gy + fp, nsh, c * npad, wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={12: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*axes, validf,
-      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      ys.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
-      sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
-      offsets, gq, vol0)
+    )(xyzv, meta, offsets, gq, vol0)
     acc = acc.reshape(hp, d + fp + 2, c, npad,
                       wp)[fp:fp + h, fp:fp + d, :, :n, :w]
     return acc.transpose(3, 2, 1, 0, 4).astype(out_dtype)

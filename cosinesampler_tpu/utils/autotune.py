@@ -105,15 +105,16 @@ def key(generation: str, cells_shape, cfg, n_queries: int,
 
 def lookup(generation: str, cells_shape, cfg,
            n_queries: int) -> Optional[dict]:
-    """Tuned ``{"q_block": int[, "gy": int]}`` for this signature, or None
-    (module defaults).  Disabled by COSINESAMPLER_AUTOTUNE=0."""
+    """Tuned ``{"q_block": int[, "gy": int, "rb": int]}`` for this
+    signature, or None (module defaults).  Disabled by
+    COSINESAMPLER_AUTOTUNE=0."""
     if os.environ.get("COSINESAMPLER_AUTOTUNE", "1") == "0":
         return None
     entry = _load().get(key(generation, cells_shape, cfg, n_queries))
     if not entry:
         return None
     return {k: int(v) for k, v in entry.items()
-            if k in ("q_block", "gy")} or None
+            if k in ("q_block", "gy", "rb")} or None
 
 
 def record(generation: str, cells_shape, cfg, n_queries: int, params: dict,
@@ -146,11 +147,12 @@ def _modules():
 
 
 def _candidates(generation: str):
-    """(q_block[, gy]) grid per generation.  v4's gy widens the brick (more
-    reuse per DMA, more bins merged) — a second real knob there."""
+    """(q_block[, gy, rb]) grid per generation.  v4's gy widens the bin
+    (fewer bins -> fewer padding-tail blocks, but a taller per-query MXU
+    window) and rb widens the super-brick DMA — two real knobs there."""
     if generation == "v3b":
-        return [{"q_block": qb, "gy": gy}
-                for qb in (128, 256, 512) for gy in (2, 4)]
+        return [{"q_block": qb, "gy": gy, "rb": rb}
+                for qb in (128, 256) for gy in (2, 4) for rb in (4, 8)]
     return [{"q_block": qb} for qb in (128, 256, 512, 1024)]
 
 
@@ -217,7 +219,11 @@ def tune(generation: str, cells, points, cfg, *, reps: int = 30,
         if not mod.supports(cfg, cells.shape, budget, q, **cand):
             continue
         label = ",".join(f"{k}={v}" for k, v in sorted(cand.items()))
-        plan = mod.make_plan(points, spatial, cfg, **cand)
+        # trim like the production planned path (ops.fused.make_sample_plan)
+        # does: the padded slot count is plan-dependent, so candidates are
+        # judged on the slot layout they would actually run with.
+        from ..ops.fused import trim_plan
+        plan = trim_plan(mod.make_plan(points, spatial, cfg, **cand))
         qp = plan[1].shape[0]
 
         # parity gate: every candidate must reproduce the first candidate's

@@ -144,5 +144,5 @@ def test_tune_measures_and_persists(monkeypatch):
 
 def test_tune_gy_candidates_for_v3b():
     cands = autotune._candidates("v3b")
-    assert {"q_block": 256, "gy": 4} in cands
-    assert all(set(c) == {"q_block", "gy"} for c in cands)
+    assert {"q_block": 256, "gy": 4, "rb": 4} in cands
+    assert all(set(c) == {"q_block", "gy", "rb"} for c in cands)

@@ -98,7 +98,10 @@ def test_padded_api_rejects_stale_plan(monkeypatch):
 
 
 def test_padded_api_planned_matches_unplanned(monkeypatch):
-    """Public API: plan in, bit-identical out (v5 3D route, interpret)."""
+    """Public API: plan in, bit-identical out in query order (v5 3D
+    route, interpret).  make_sample_plan trims the all-padding tail
+    blocks (trim_plan), so the planned slot count may be smaller; the
+    real-slot layout and values must be identical."""
     monkeypatch.setattr(pb, "INTERPRET", True)
     cfg = SamplerConfig(dim=3, backend="pallas")
     cells, pts = _data3(5, q=2048)
@@ -107,9 +110,12 @@ def test_padded_api_planned_matches_unplanned(monkeypatch):
     want_p, want_occ, want_pos = fused.sample_features_padded(cells, pts, cfg)
     got_p, got_occ, got_pos = fused.sample_features_padded(cells, pts, cfg,
                                                            plan=plan)
-    np.testing.assert_array_equal(got_p, want_p)
-    np.testing.assert_array_equal(got_occ, want_occ)
     np.testing.assert_array_equal(got_pos, want_pos)
+    qp = got_p.shape[-1]
+    assert qp <= want_p.shape[-1]
+    np.testing.assert_array_equal(got_p, want_p[..., :qp])
+    np.testing.assert_array_equal(got_occ, want_occ[:qp])
+    assert not np.any(want_occ[qp:])
 
 
 def test_padded_api_planned_grad_matches(monkeypatch):
@@ -201,3 +207,44 @@ def test_train_step_planned_matches_slot_resident(monkeypatch):
         p2, s2, l2 = sr_step(p2, s2, pts)
         np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(p1["cells"], p2["cells"])
+
+
+@pytest.mark.parametrize("mod,blend,spatial,data", [
+    (fused3w, "pallas_fused3w_blend_padded", (6, 6, 6), _data3),
+    (fused2w, "pallas_fused2w_blend_padded", (8, 8), _data2),
+    (fused3b, "pallas_fused3b_blend_padded", (6, 6, 6), _data3),
+])
+def test_trimmed_plan_matches_untrimmed(mod, blend, spatial, data):
+    """trim_plan drops only the all-padding tail blocks: the kernels read
+    their grid from the plan shapes, so query-ordered outputs are
+    bit-identical while the padded slot count shrinks."""
+    cfg = SamplerConfig(dim=len(spatial), backend="pallas")
+    cells, pts = data(0, spatial)
+    fn = getattr(mod, blend)
+    plan = mod.make_plan(pts, spatial, cfg, q_block=64)
+    trimmed = fused.trim_plan(plan)
+    # the static bound pads ~nbins tail blocks; a 120-query cloud must trim
+    assert trimmed[1].shape[0] < plan[1].shape[0]
+    q = pts.shape[0]
+
+    def ordered(p):
+        out_p, _, pos = fn(cells, pts, cfg, q_block=64, interpret=True,
+                           plan=p)
+        qp = out_p.shape[-1]
+        k = out_p.shape[0] * out_p.shape[1]
+        return np.asarray(out_p.reshape(k, qp)[:, pos])
+
+    np.testing.assert_array_equal(ordered(plan), ordered(trimmed))
+
+
+def test_trim_plan_is_noop_under_jit():
+    cfg = SamplerConfig(dim=3, backend="pallas")
+    _, pts = _data3()
+
+    @jax.jit
+    def build(p):
+        plan = fused3b.make_plan(p, (6, 6, 6), cfg, 64)
+        return fused.trim_plan(plan)[1].shape[0]
+
+    # under a tracer the shapes must stay static (no trim)
+    assert build(pts) == fused3b.make_plan(pts, (6, 6, 6), cfg, 64)[1].shape[0]
