@@ -95,6 +95,59 @@ def test_sharded_fused_pallas_interpret(mesh):
         pb.INTERPRET = old
 
 
+def test_hybrid_mesh_train_step_matches_single_device():
+    """Multi-slice layout: a (2, 4) dcn x ici mesh with points sharded over
+    BOTH axes; the replicated cell-gradient reduction becomes the
+    hierarchical (ici-then-dcn) all-reduce XLA places from the shardings."""
+    from cosinesampler_tpu.parallel.sharding import make_hybrid_mesh
+
+    hmesh = make_hybrid_mesh(2, 4)
+    assert hmesh.devices.shape == (2, 4)
+    assert hmesh.axis_names == ("dcn", "ici")
+
+    cfg = pinn.PINNConfig(dim=2, n_cells=4, cell_dim=2, cell_size=8,
+                          hidden=8, backend="xla")
+    params = pinn.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    pts = jnp.asarray(np.random.RandomState(0).uniform(-0.9, 0.9, (64, 2)))
+
+    step = pinn.make_train_step(cfg, optimizer)
+    p1, _, l1 = jax.jit(step)(params, opt_state, pts)
+    p2, _, l2 = shard_pinn_step(step, hmesh, axis=None)(params, opt_state,
+                                                        pts)
+    np.testing.assert_allclose(l2, l1, rtol=1e-10)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)
+
+
+def test_hybrid_mesh_fused_features_parity():
+    """The fused op sharded over the 2-axis mesh equals single-device, and
+    the cell cotangent is correctly double-psum'd by shard_map transpose."""
+    from cosinesampler_tpu.ops.fused import sample_features_with_derivs
+    from cosinesampler_tpu.parallel.sharding import (make_hybrid_mesh,
+                                                     sharded_fused_features)
+
+    hmesh = make_hybrid_mesh(2, 4)
+    rng = np.random.RandomState(3)
+    cfg = SamplerConfig(dim=2, kernel="cosine", multicell=True, backend="xla")
+    cells = jnp.asarray(rng.rand(4, 2, 8, 8), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 2)), jnp.float32)
+
+    want = sample_features_with_derivs(cells, pts, cfg)
+    got = sharded_fused_features(cells, pts, cfg, hmesh, axis=None)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    g = jnp.asarray(rng.rand(*want.shape), jnp.float32)
+    cot_single = jax.vjp(
+        lambda c: sample_features_with_derivs(c, pts, cfg), cells)[1](g)[0]
+    cot_shard = jax.vjp(
+        lambda c: sharded_fused_features(c, pts, cfg, hmesh, axis=None),
+        cells)[1](g)[0]
+    np.testing.assert_allclose(cot_shard, cot_single, rtol=1e-4, atol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     import pathlib
