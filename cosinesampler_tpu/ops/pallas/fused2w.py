@@ -238,8 +238,14 @@ def _scatter_windows2(wins, nby, gy, rows, cn, hp, wp, fp=2):
     return out[:, :hp]
 
 
-def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
-                          bbn_ref, first_ref, hn_ref, par_ref, off_ref,
+# Merged per-block inputs (fused3b/fused3w idiom: per-grid-step fixed cost
+# scales with the BlockSpec count): one (1, 3, Qb) VMEM block carries
+# x/y/valid, one SMEM int vector the block metadata.
+_M_Y0, _M_HASV, _M_BBN, _M_FIRST, _M_HN, _M_PAR = range(6)
+_MB_Y0, _MB_HASV, _MB_SP, _MB_SN = range(4)
+
+
+def _fused2w_blend_kernel(xyv_ref, meta_ref, off_ref,
                           win_ref, out_ref, scratch, sem, *, cfg, spatial,
                           gy, q_block, channels, n_cells, wp):
     h, w = spatial
@@ -248,9 +254,9 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
     nsh = n_shifts(cfg)
     rows = gy + front_pad(cfg)
     k_win = rows * wp
-    y0 = y0_ref[0, 0, 0]
+    y0 = meta_ref[0, 0, _M_Y0]
     bbin = y0 // gy
-    p = par_ref[0, 0, 0]
+    p = meta_ref[0, 0, _M_PAR]
 
     # Prefetch chain gated to the real-block prefix (_ybin packs real
     # blocks first); padding blocks skip the window DMA entirely.
@@ -258,22 +264,22 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
         return pltpu.make_async_copy(win_ref.at[pl.ds(b, 1)],
                                      scratch.at[pl.ds(slot, 1)], sem.at[slot])
 
-    @pl.when(hasv_ref[0, 0, 0] > 0)
+    @pl.when(meta_ref[0, 0, _M_HASV] > 0)
     def _():
-        @pl.when(first_ref[0, 0, 0] > 0)
+        @pl.when(meta_ref[0, 0, _M_FIRST] > 0)
         def _():
             win_dma(p, bbin).start()
 
         win_dma(p, bbin).wait()
 
-        @pl.when(hn_ref[0, 0, 0] > 0)
+        @pl.when(meta_ref[0, 0, _M_HN] > 0)
         def _():
-            win_dma(1 - p, bbn_ref[0, 0, 0]).start()
+            win_dma(1 - p, meta_ref[0, 0, _M_BBN]).start()
 
-        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        valid = (xyv_ref[0, 2] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
-        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
+        px, wx = _x_prep(xyv_ref[0, 0:1], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(xyv_ref[0, 1:2], h, cfg, off_col, y0, gy)
         mask = valid * ymask
         terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
                                mxu.passes_for(cfg))           # (C*N, K)
@@ -294,7 +300,7 @@ def _fused2w_blend_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref,
             [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
         out_ref[:] = out * mask
 
-    @pl.when(hasv_ref[0, 0, 0] == 0)
+    @pl.when(meta_ref[0, 0, _M_HASV] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -317,8 +323,9 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
         points, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
-    validf = occ.reshape(nblocks, 1, q_block)
+    xyv = jnp.concatenate(
+        [pts_p.T, occ[None].astype(jnp.float32)], axis=0
+    ).reshape(3, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
@@ -329,11 +336,9 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     first = (bi == 0).astype(jnp.int32)
     hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
     parity = (bi % 2).astype(jnp.int32)
+    meta = jnp.stack([y0, hasv, bbn, first, hn, parity],
+                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 6)
 
-    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
-                             memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused2w_blend_kernel, cfg=cfg, spatial=(h, w), gy=gy,
         q_block=q_block, channels=c, n_cells=npad, wp=wp)
@@ -341,10 +346,10 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
         kernel,
         grid=(nblocks,),
         in_specs=[
-            coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 3, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((1, 1, 6), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -360,11 +365,7 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*axes, validf,
-      y0.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
-      bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
-      hn.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
-      offsets, wins)
+    )(xyv, meta, offsets, wins)
     dtype = jnp.promote_types(cells.dtype, points.dtype)
     return out.reshape(5, c, qp).astype(dtype), occ, positions
 
@@ -382,8 +383,8 @@ def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
     return out_p.reshape(5 * c, qp)[:, positions].reshape(5, c, q)
 
 
-def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
-                        sn_ref, off_ref, g_ref, wins0_ref, out_ref, scratch,
+def _fused2w_bwd_kernel(xyv_ref, meta_ref, off_ref, g_ref, wins0_ref,
+                        out_ref, scratch,
                         sem_in, sem_out, *, cfg, spatial, gy, q_block,
                         channels, n_cells, wp):
     del wins0_ref  # aliased to out_ref; zero-initialized by XLA
@@ -393,21 +394,21 @@ def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
     nsh = n_shifts(cfg)
     rows = gy + front_pad(cfg)
     k_win = rows * wp
-    y0 = y0_ref[0, 0, 0]
+    y0 = meta_ref[0, 0, _MB_Y0]
     bbin = y0 // gy
 
-    @pl.when(hasv_ref[0, 0, 0] > 0)
+    @pl.when(meta_ref[0, 0, _MB_HASV] > 0)
     def _():
         cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
                                    sem_in)
 
-        @pl.when(sp_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _MB_SP] == 0)
         def _():
             cp.start()
-        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        valid = (xyv_ref[0, 2] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
-        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
+        px, wx = _x_prep(xyv_ref[0, 0:1], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(xyv_ref[0, 1:2], h, cfg, off_col, y0, gy)
         mask = valid * ymask
 
         g = g_ref[:].reshape(5, c, q_block)
@@ -428,12 +429,12 @@ def _fused2w_bwd_kernel(x_ref, y_ref, valid_ref, y0_ref, hasv_ref, sp_ref,
                     pmat.reshape(c * n, q_block), hit,
                     (((1,), (1,)), ((), ())))                # (C*N, K)
 
-        @pl.when(sp_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _MB_SP] == 0)
         def _():
             cp.wait()
         scratch[...] = scratch[...] + contrib[None]
 
-        @pl.when(sn_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _MB_SN] == 0)
         def _():
             cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
                                         sem_out)
@@ -459,8 +460,9 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
     c = gq.shape[0] // k_rows
     nblocks = qp // q_block
 
-    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(2)]
-    validf = occ.reshape(nblocks, 1, q_block)
+    xyv = jnp.concatenate(
+        [pts_p.T, occ[None].astype(jnp.float32)], axis=0
+    ).reshape(3, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     wins0 = jnp.zeros((nby, c * npad, rows * wp), jnp.float32)
@@ -469,11 +471,9 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
     same = (y0 == jnp.roll(y0, -1))
     sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
     sp = jnp.roll(sn, 1).at[0].set(0)
+    meta = jnp.stack([y0, hasv, sp, sn],
+                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 4)
 
-    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
-                             memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused2w_bwd_kernel, cfg=cfg, spatial=(h, w), gy=gy,
         q_block=q_block, channels=c, n_cells=npad, wp=wp)
@@ -481,10 +481,10 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
         kernel,
         grid=(nblocks,),
         in_specs=[
-            coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 3, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((1, 1, 4), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
@@ -498,15 +498,12 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
             pltpu.VMEM((1, c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={9: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*axes, validf,
-      y0.reshape(nblocks, 1, 1), hasv.reshape(nblocks, 1, 1),
-      sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
-      offsets, gq, wins0)
+    )(xyv, meta, offsets, gq, wins0)
     acc = _scatter_windows2(wins, nby, gy, rows, c * npad, hp, wp, fp)
     acc = acc.reshape(c, npad, hp, wp)[:, :n, fp:fp + h, :w]
     return acc.transpose(1, 0, 2, 3).astype(out_dtype)

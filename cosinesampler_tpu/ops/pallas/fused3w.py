@@ -229,9 +229,16 @@ def _scatter_windows(wins, nbz, nby, gy, rows, cn, hp, wp, nsh, fp):
     return out[:, :, :hp]
 
 
-def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                          hasv_ref, bbn_ref, first_ref, hn_ref, par_ref,
-                          off_ref, win_ref, out_ref, scratch, sem,
+# Merged per-block inputs (the v4 lesson, fused3b.py: per-grid-step fixed
+# cost scales with the BlockSpec count, measured -0.3 us/block): one
+# (1, 4, Qb) VMEM block carries x/y/z/valid and one SMEM int vector the
+# block metadata, instead of 4 + 7 separate specs.
+_M_Z0, _M_Y0, _M_HASV, _M_BBN, _M_FIRST, _M_HN, _M_PAR = range(7)
+_MB_Z0, _MB_Y0, _MB_HASV, _MB_SP, _MB_SN = range(5)
+
+
+def _fused3w_blend_kernel(xyzv_ref, meta_ref, off_ref, win_ref, out_ref,
+                          scratch, sem,
                           *, cfg, spatial, gy, q_block, channels, n_cells,
                           wp, nby):
     d, h, w = spatial
@@ -240,10 +247,10 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     nsh = n_shifts(cfg)
     rows = gy + front_pad(cfg)
     k_win = rows * wp
-    z0 = z0_ref[0, 0, 0]
-    y0 = y0_ref[0, 0, 0]
+    z0 = meta_ref[0, 0, _M_Z0]
+    y0 = meta_ref[0, 0, _M_Y0]
     bbin = z0 * nby + y0 // gy
-    p = par_ref[0, 0, 0]
+    p = meta_ref[0, 0, _M_PAR]
 
     # Double-buffered window prefetch across grid steps (see fused3b):
     # wait the DMA the previous block started, start the next block's.
@@ -254,23 +261,23 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         return pltpu.make_async_copy(win_ref.at[pl.ds(b, 1)],
                                      scratch.at[pl.ds(slot, 1)], sem.at[slot])
 
-    @pl.when(hasv_ref[0, 0, 0] > 0)
+    @pl.when(meta_ref[0, 0, _M_HASV] > 0)
     def _():
-        @pl.when(first_ref[0, 0, 0] > 0)
+        @pl.when(meta_ref[0, 0, _M_FIRST] > 0)
         def _():
             win_dma(p, bbin).start()
 
         win_dma(p, bbin).wait()
 
-        @pl.when(hn_ref[0, 0, 0] > 0)
+        @pl.when(meta_ref[0, 0, _M_HN] > 0)
         def _():
-            win_dma(1 - p, bbn_ref[0, 0, 0]).start()
+            win_dma(1 - p, meta_ref[0, 0, _M_BBN]).start()
 
-        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        valid = (xyzv_ref[0, 3] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
-        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
-        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        px, wx = _x_prep(xyzv_ref[0, 0:1], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(xyzv_ref[0, 1:2], h, cfg, off_col, y0, gy)
+        wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
         terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
                                mxu.passes_for(cfg))           # (nsh*C*N, K)
@@ -299,7 +306,7 @@ def _fused3w_blend_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
             [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
         out_ref[:] = out * mask
 
-    @pl.when(hasv_ref[0, 0, 0] == 0)
+    @pl.when(meta_ref[0, 0, _M_HASV] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -326,8 +333,9 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
         points, d, h, cfg, q_block, gy, plan)
     nblocks = qp // q_block
 
-    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = occ.reshape(nblocks, 1, q_block)
+    xyzv = jnp.concatenate(
+        [pts_p.T, occ[None].astype(jnp.float32)], axis=0
+    ).reshape(4, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
@@ -339,11 +347,9 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
     first = (bi == 0).astype(jnp.int32)
     hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
     parity = (bi % 2).astype(jnp.int32)
+    meta = jnp.stack([z0, y0, hasv, bbn, first, hn, parity],
+                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 7)
 
-    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
-                             memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3w_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
         q_block=q_block, channels=c, n_cells=npad, wp=wp, nby=nby)
@@ -351,11 +357,10 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
         kernel,
         grid=(nblocks,),
         in_specs=[
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 4, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec,
-            meta_spec, meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((1, 1, 7), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -371,12 +376,7 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*axes, validf,
-      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1),
-      bbn.reshape(nblocks, 1, 1), first.reshape(nblocks, 1, 1),
-      hn.reshape(nblocks, 1, 1), parity.reshape(nblocks, 1, 1),
-      offsets, wins)
+    )(xyzv, meta, offsets, wins)
     dtype = jnp.promote_types(cells.dtype, points.dtype)
     return out.reshape(7, c, qp).astype(dtype), occ, positions
 
@@ -393,8 +393,7 @@ def pallas_fused3w_blend(cells, points, cfg: SamplerConfig,
     return out_p.reshape(7 * c, qp)[:, positions].reshape(7, c, q)
 
 
-def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
-                        hasv_ref, sp_ref, sn_ref, off_ref, g_ref, wins0_ref,
+def _fused3w_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref, wins0_ref,
                         out_ref, scratch, sem_in, sem_out, *, cfg, spatial,
                         gy, q_block, channels, n_cells, wp, nby):
     del wins0_ref  # aliased to out_ref; zero-initialized by XLA
@@ -404,11 +403,11 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
     nsh = n_shifts(cfg)
     rows = gy + front_pad(cfg)
     k_win = rows * wp
-    z0 = z0_ref[0, 0, 0]
-    y0 = y0_ref[0, 0, 0]
+    z0 = meta_ref[0, 0, _MB_Z0]
+    y0 = meta_ref[0, 0, _MB_Y0]
     bbin = z0 * nby + y0 // gy
 
-    @pl.when(hasv_ref[0, 0, 0] > 0)
+    @pl.when(meta_ref[0, 0, _MB_HASV] > 0)
     def _():
         # Same-bin RMW elision (see fused3b): a bin's first block reads its
         # window, continuation blocks accumulate in scratch, and only the
@@ -417,14 +416,14 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
         cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
                                    sem_in)
 
-        @pl.when(sp_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _MB_SP] == 0)
         def _():
             cp.start()
-        valid = (valid_ref[0, 0] > 0.5).astype(jnp.float32)
+        valid = (xyzv_ref[0, 3] > 0.5).astype(jnp.float32)
         off_col = off_ref[:, 0:1]
-        px, wx = _x_prep(x_ref[0], w, cfg, off_col)
-        ry, wy, ymask = _y_prep(y_ref[0], h, cfg, off_col, y0, gy)
-        wz, zmask = _z_weights(z_ref[0], d, cfg, off_col, z0 - 2)
+        px, wx = _x_prep(xyzv_ref[0, 0:1], w, cfg, off_col)
+        ry, wy, ymask = _y_prep(xyzv_ref[0, 1:2], h, cfg, off_col, y0, gy)
+        wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
 
         g = g_ref[:].reshape(7, c, q_block)
@@ -451,12 +450,12 @@ def _fused3w_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, z0_ref, y0_ref,
                 pk = jnp.stack(ps, axis=0).reshape(nsh * c * n, q_block)
                 contrib = contrib + mxu.onehot_dot(
                     pk, hit, (((1,), (1,)), ((), ())))        # (nsh*C*N, K)
-        @pl.when(sp_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _MB_SP] == 0)
         def _():
             cp.wait()
         scratch[...] = scratch[...] + contrib[None]
 
-        @pl.when(sn_ref[0, 0, 0] == 0)
+        @pl.when(meta_ref[0, 0, _MB_SN] == 0)
         def _():
             cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
                                         sem_out)
@@ -482,8 +481,9 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
     k_rows = 7
     nblocks = qp // q_block
 
-    axes = [pts_p[:, i].reshape(nblocks, 1, q_block) for i in range(3)]
-    validf = occ.reshape(nblocks, 1, q_block)
+    xyzv = jnp.concatenate(
+        [pts_p.T, occ[None].astype(jnp.float32)], axis=0
+    ).reshape(4, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     wins0 = jnp.zeros((nbins, nsh * c * npad, rows * wp), jnp.float32)
@@ -492,11 +492,9 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
     same = (z0 == jnp.roll(z0, -1)) & (y0 == jnp.roll(y0, -1))
     sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
     sp = jnp.roll(sn, 1).at[0].set(0)
+    meta = jnp.stack([z0, y0, hasv, sp, sn],
+                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 5)
 
-    coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, 1), lambda qi: (qi, 0, 0),
-                             memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _fused3w_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
         q_block=q_block, channels=c, n_cells=npad, wp=wp, nby=nby)
@@ -504,10 +502,10 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
         kernel,
         grid=(nblocks,),
         in_specs=[
-            coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 4, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            meta_spec, meta_spec, meta_spec, meta_spec, meta_spec,
+            pl.BlockSpec((1, 1, 5), lambda qi: (qi, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
@@ -521,16 +519,12 @@ def _bwd_from_slots(gq, points, in_spatial, cfg: SamplerConfig, n_cells: int,
             pltpu.VMEM((1, nsh * c * npad, rows * wp), jnp.float32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={11: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*axes, validf,
-      z0.reshape(nblocks, 1, 1), y0.reshape(nblocks, 1, 1),
-      hasv.reshape(nblocks, 1, 1),
-      sp.reshape(nblocks, 1, 1), sn.reshape(nblocks, 1, 1),
-      offsets, gq, wins0)
+    )(xyzv, meta, offsets, gq, wins0)
     acc = _scatter_windows(wins, nbz, nby, gy, rows, c * npad, hp, wp,
                            nsh, fp)
     acc = acc.reshape(nbz + fp, c, npad, hp, wp)[fp:fp + d, :, :n,
