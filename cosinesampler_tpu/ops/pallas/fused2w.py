@@ -64,13 +64,32 @@ def _resolve_qb(cfg, cells_shape, q_block):
     return qb
 
 
+def _pad_super(occ, y0, hasv, pts_p, qp, q_block: int, sb: int):
+    """Append all-padding blocks so the block count divides ``sb``.
+
+    Sub-blocking (``sb`` consecutive q_block groups per Pallas grid step)
+    amortizes the ~1.2-1.5 us/block fixed grid-step cost (BENCHMARKS.md
+    ablations) WITHOUT coarsening the bin-padding granularity — padding
+    stays per q_block, so the slot layout (and any precomputed plan) is
+    sb-independent; only the grid geometry changes here."""
+    nblocks = qp // q_block
+    extra = -(-nblocks // sb) * sb - nblocks
+    if extra:
+        occ = jnp.pad(occ, (0, extra * q_block))
+        pts_p = jnp.pad(pts_p, ((0, extra * q_block), (0, 0)))
+        y0 = jnp.pad(y0, (0, extra), mode="edge")
+        hasv = jnp.pad(hasv, (0, extra))
+        qp += extra * q_block
+    return occ, y0, hasv, pts_p, qp
+
+
 def _geom2(h: int, gy: int, fp: int = 2):
     nby = -(-(h + 2) // gy)
     return nby, nby * gy + fp         # (nbins, padded H)
 
 
 def _vmem_ok(cfg: SamplerConfig, cells_shape, vmem_budget: int,
-             q_block: int) -> bool:
+             q_block: int, sb: int = 1) -> bool:
     n, c, h, w = cells_shape
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
     k = rows * wp
@@ -80,6 +99,10 @@ def _vmem_ok(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     if mxu.passes_for(cfg) * cn * k * 2 > vmem_budget:
         return False
     if k * q_block * 4 > vmem_budget:               # (K, Qb) hit panel
+        return False
+    # per-grid-step IO blocks scale with sb: (3, sb*Qb) coords + the
+    # (5C, sb*Qb) out/cotangent block
+    if (3 + 5 * c) * sb * q_block * 4 > vmem_budget:
         return False
     return True
 
@@ -101,12 +124,12 @@ def pick_q_block(cfg: SamplerConfig, cells_shape,
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None,
-             q_block: int | None = None) -> bool:
+             q_block: int | None = None, sb: int = 1) -> bool:
     if cfg.dim != 2 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     q_block = q_block or pick_q_block(cfg, cells_shape, vmem_budget)
     if q_block is None or not _vmem_ok(cfg, cells_shape, vmem_budget,
-                                       q_block):
+                                       q_block, sb):
         return False
     n, c, h, w = cells_shape
     wp, rows, gy, nsh, fp = _win_geom(w, cfg)
@@ -177,13 +200,16 @@ def _ybin(points, h: int, cfg: SamplerConfig, q_block: int, gy: int):
 
 
 def make_plan(points, in_spatial, cfg: SamplerConfig,
-              q_block: int = V2W_Q_BLOCK):
+              q_block: int = V2W_Q_BLOCK, sb: int = 1):
     """Precompute the bin plan for a FIXED point set (fused3b.make_plan
     rationale): (positions, occ, y0, hasv, pts_p).
 
     A plan is only valid for the exact q_block the kernels will run with;
     the dispatcher (ops/pallas/__init__) resolves the adaptive/tuned block
-    once and passes it to both this and the kernels."""
+    once and passes it to both this and the kernels.  ``sb`` is accepted
+    for tuned-kwargs symmetry but does not affect the layout: sub-block
+    padding is applied inside the kernels (_pad_super)."""
+    del sb
     h, w = in_spatial
     gy = _win_geom(w, cfg)[2]
     positions, occ, y0, hasv, qp = _ybin(points, h, cfg, q_block, gy)
@@ -247,16 +273,14 @@ _MB_Y0, _MB_HASV, _MB_SP, _MB_SN = range(4)
 
 def _fused2w_blend_kernel(xyv_ref, meta_ref, off_ref,
                           win_ref, out_ref, scratch, sem, *, cfg, spatial,
-                          gy, q_block, channels, n_cells, wp):
+                          gy, q_block, sb, channels, n_cells, wp):
     h, w = spatial
     c = channels
     n = n_cells
     nsh = n_shifts(cfg)
     rows = gy + front_pad(cfg)
     k_win = rows * wp
-    y0 = meta_ref[0, 0, _M_Y0]
-    bbin = y0 // gy
-    p = meta_ref[0, 0, _M_PAR]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
 
     # Prefetch chain gated to the real-block prefix (_ybin packs real
     # blocks first); padding blocks skip the window DMA entirely.
@@ -264,55 +288,70 @@ def _fused2w_blend_kernel(xyv_ref, meta_ref, off_ref,
         return pltpu.make_async_copy(win_ref.at[pl.ds(b, 1)],
                                      scratch.at[pl.ds(slot, 1)], sem.at[slot])
 
-    @pl.when(meta_ref[0, 0, _M_HASV] > 0)
-    def _():
-        @pl.when(meta_ref[0, 0, _M_FIRST] > 0)
+    # sb consecutive q_block sub-groups per grid step (unrolled): the
+    # per-grid-step fixed cost (~1.2-1.5 us) is paid once per sb groups
+    # while bin padding stays q_block-granular.  meta/parity/prefetch
+    # flags are per SUB-group (global block index), so the double-buffer
+    # DMA chain is exactly the sb=1 chain, re-cut at a coarser grid.
+    for s in range(sb):
+        sl = slice(s * q_block, (s + 1) * q_block)
+        y0 = meta_ref[0, s, _M_Y0]
+        bbin = y0 // gy
+        p = meta_ref[0, s, _M_PAR]
+
+        @pl.when(meta_ref[0, s, _M_HASV] > 0)
         def _():
-            win_dma(p, bbin).start()
+            @pl.when(meta_ref[0, s, _M_FIRST] > 0)
+            def _():
+                win_dma(p, bbin).start()
 
-        win_dma(p, bbin).wait()
+            win_dma(p, bbin).wait()
 
-        @pl.when(meta_ref[0, 0, _M_HN] > 0)
+            @pl.when(meta_ref[0, s, _M_HN] > 0)
+            def _():
+                win_dma(1 - p, meta_ref[0, s, _M_BBN]).start()
+
+            valid = (xyv_ref[0, 2, sl] > 0.5).astype(jnp.float32)
+            off_col = off_ref[:, 0:1]
+            px, wx = _x_prep(xyv_ref[0, 0:1, sl], w, cfg, off_col)
+            ry, wy, ymask = _y_prep(xyv_ref[0, 1:2, sl], h, cfg, off_col,
+                                    y0, gy)
+            mask = valid * ymask
+            terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
+                                   mxu.passes_for(cfg))       # (C*N, K)
+            rows_acc = [jnp.zeros((c, n, q_block), jnp.float32)
+                        for _ in _ROWS_2D]
+            for j in range(nsh):
+                rb = ry[j] * wp
+                for i in range(nsh):
+                    pos = jnp.where(px[i] >= 0, rb + px[i], -1)
+                    hit = (iota == pos).astype(jnp.float32)   # (K, Qb)
+                    v = mxu.onehot_dot_terms(
+                        terms, hit, (((1,), (0,)), ((), ())))  # (C*N, Qb)
+                    v = v.reshape(c, n, q_block)
+                    for r, (kx, ky) in enumerate(_ROWS_2D):
+                        rows_acc[r] = rows_acc[r] + (
+                            wy[ky][j] * wx[kx][i])[None] * v
+            out = jnp.concatenate(
+                [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
+            out_ref[:, sl] = out * mask
+
+        @pl.when(meta_ref[0, s, _M_HASV] == 0)
         def _():
-            win_dma(1 - p, meta_ref[0, 0, _M_BBN]).start()
-
-        valid = (xyv_ref[0, 2] > 0.5).astype(jnp.float32)
-        off_col = off_ref[:, 0:1]
-        px, wx = _x_prep(xyv_ref[0, 0:1], w, cfg, off_col)
-        ry, wy, ymask = _y_prep(xyv_ref[0, 1:2], h, cfg, off_col, y0, gy)
-        mask = valid * ymask
-        terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
-                               mxu.passes_for(cfg))           # (C*N, K)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
-        rows_acc = [jnp.zeros((c, n, q_block), jnp.float32) for _ in _ROWS_2D]
-        for j in range(nsh):
-            rb = ry[j] * wp
-            for i in range(nsh):
-                pos = jnp.where(px[i] >= 0, rb + px[i], -1)
-                hit = (iota == pos).astype(jnp.float32)       # (K, Qb)
-                v = mxu.onehot_dot_terms(
-                    terms, hit, (((1,), (0,)), ((), ())))     # (C*N, Qb)
-                v = v.reshape(c, n, q_block)
-                for r, (kx, ky) in enumerate(_ROWS_2D):
-                    rows_acc[r] = rows_acc[r] + (
-                        wy[ky][j] * wx[kx][i])[None] * v
-        out = jnp.concatenate(
-            [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
-        out_ref[:] = out * mask
-
-    @pl.when(meta_ref[0, 0, _M_HASV] == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[:, sl] = jnp.zeros((5 * c, q_block), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "sb",
+                                              "interpret"))
 def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
-                                q_block: int | None = None,
+                                q_block: int | None = None, sb: int = 1,
                                 interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (5, C, QP), occ (QP,), positions (Q,)).
 
     Padding slots are zero and flagged by ``occ``; see
-    fused3w.pallas_fused3w_blend_padded for the rationale."""
+    fused3w.pallas_fused3w_blend_padded for the rationale.  ``sb``
+    sub-blocks run per grid step (_pad_super); QP grows to the next
+    multiple of sb*q_block, padding slots flagged as usual."""
     q_block = _resolve_qb(cfg, cells.shape, q_block)
     n, c, h, w = cells.shape
     q = points.shape[0]
@@ -321,11 +360,14 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     nby, hp = _geom2(h, gy, fp)
     positions, occ, y0, hasv, pts_p, qp = _plan_or_bin2(
         points, h, cfg, q_block, gy, plan)
+    occ, y0, hasv, pts_p, qp = _pad_super(occ, y0, hasv, pts_p, qp,
+                                          q_block, sb)
     nblocks = qp // q_block
+    nsuper = nblocks // sb
 
     xyv = jnp.concatenate(
         [pts_p.T, occ[None].astype(jnp.float32)], axis=0
-    ).reshape(3, nblocks, q_block).transpose(1, 0, 2)
+    ).reshape(3, nsuper, sb * q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
@@ -337,24 +379,24 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     hn = jnp.roll(hasv, -1).at[-1].set(0)   # next block is real -> prefetch
     parity = (bi % 2).astype(jnp.int32)
     meta = jnp.stack([y0, hasv, bbn, first, hn, parity],
-                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 6)
+                     axis=1).astype(jnp.int32).reshape(nsuper, sb, 6)
 
     kernel = functools.partial(
         _fused2w_blend_kernel, cfg=cfg, spatial=(h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=npad, wp=wp)
+        q_block=q_block, sb=sb, channels=c, n_cells=npad, wp=wp)
     out = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, 3, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 3, sb * q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, sb, 6), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((5 * c, q_block), lambda qi: (0, qi),
+        out_specs=pl.BlockSpec((5 * c, sb * q_block), lambda qi: (0, qi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5 * c, qp), jnp.float32),
         scratch_shapes=[
@@ -370,22 +412,23 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     return out.reshape(5, c, qp).astype(dtype), occ, positions
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "sb",
+                                              "interpret"))
 def pallas_fused2w_blend(cells, points, cfg: SamplerConfig,
-                         q_block: int | None = None,
+                         q_block: int | None = None, sb: int = 1,
                          interpret: bool = False):
     """(5, C, Q) fused multicell value/jac/diag-Hessian (v5, windowed 2D)."""
     c = cells.shape[1]
     q = points.shape[0]
     out_p, _, positions = pallas_fused2w_blend_padded(
-        cells, points, cfg, q_block=q_block, interpret=interpret)
+        cells, points, cfg, q_block=q_block, sb=sb, interpret=interpret)
     qp = out_p.shape[-1]
     return out_p.reshape(5 * c, qp)[:, positions].reshape(5, c, q)
 
 
 def _fused2w_bwd_kernel(xyv_ref, meta_ref, off_ref, g_ref, wins0_ref,
                         out_ref, scratch,
-                        sem_in, sem_out, *, cfg, spatial, gy, q_block,
+                        sem_in, sem_out, *, cfg, spatial, gy, q_block, sb,
                         channels, n_cells, wp):
     del wins0_ref  # aliased to out_ref; zero-initialized by XLA
     h, w = spatial
@@ -394,61 +437,73 @@ def _fused2w_bwd_kernel(xyv_ref, meta_ref, off_ref, g_ref, wins0_ref,
     nsh = n_shifts(cfg)
     rows = gy + front_pad(cfg)
     k_win = rows * wp
-    y0 = meta_ref[0, 0, _MB_Y0]
-    bbin = y0 // gy
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
 
-    @pl.when(meta_ref[0, 0, _MB_HASV] > 0)
-    def _():
-        cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
-                                   sem_in)
+    # sb sub-groups per grid step (see _fused2w_blend_kernel).  The SP/SN
+    # same-bin RMW-elision flags are per SUB-group over the global block
+    # sequence, so the read/accumulate/writeback chain is the sb=1 chain
+    # verbatim — a writeback of sub-group s is always waited before
+    # sub-group s+1's read of a different bin starts.
+    for s in range(sb):
+        sl = slice(s * q_block, (s + 1) * q_block)
+        y0 = meta_ref[0, s, _MB_Y0]
+        bbin = y0 // gy
 
-        @pl.when(meta_ref[0, 0, _MB_SP] == 0)
+        @pl.when(meta_ref[0, s, _MB_HASV] > 0)
         def _():
-            cp.start()
-        valid = (xyv_ref[0, 2] > 0.5).astype(jnp.float32)
-        off_col = off_ref[:, 0:1]
-        px, wx = _x_prep(xyv_ref[0, 0:1], w, cfg, off_col)
-        ry, wy, ymask = _y_prep(xyv_ref[0, 1:2], h, cfg, off_col, y0, gy)
-        mask = valid * ymask
+            cp = pltpu.make_async_copy(out_ref.at[pl.ds(bbin, 1)], scratch,
+                                       sem_in)
 
-        g = g_ref[:].reshape(5, c, q_block)
-        gv = [g[r] * mask for r in range(5)]
+            @pl.when(meta_ref[0, s, _MB_SP] == 0)
+            def _():
+                cp.start()
+            valid = (xyv_ref[0, 2, sl] > 0.5).astype(jnp.float32)
+            off_col = off_ref[:, 0:1]
+            px, wx = _x_prep(xyv_ref[0, 0:1, sl], w, cfg, off_col)
+            ry, wy, ymask = _y_prep(xyv_ref[0, 1:2, sl], h, cfg, off_col,
+                                    y0, gy)
+            mask = valid * ymask
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
-        contrib = jnp.zeros((c * n, k_win), jnp.float32)
-        for j in range(nsh):
-            rb = ry[j] * wp
-            for i in range(nsh):
-                pos = jnp.where(px[i] >= 0, rb + px[i], -1)
-                hit = (iota == pos).astype(jnp.float32)
-                pmat = jnp.zeros((c, n, q_block), jnp.float32)
-                for r, (kx, ky) in enumerate(_ROWS_2D):
-                    pmat = pmat + (wy[ky][j] * wx[kx][i])[None] * \
-                        gv[r][:, None, :]
-                contrib = contrib + mxu.onehot_dot(
-                    pmat.reshape(c * n, q_block), hit,
-                    (((1,), (1,)), ((), ())))                # (C*N, K)
+            g = g_ref[:, sl].reshape(5, c, q_block)
+            gv = [g[r] * mask for r in range(5)]
 
-        @pl.when(meta_ref[0, 0, _MB_SP] == 0)
-        def _():
-            cp.wait()
-        scratch[...] = scratch[...] + contrib[None]
+            contrib = jnp.zeros((c * n, k_win), jnp.float32)
+            for j in range(nsh):
+                rb = ry[j] * wp
+                for i in range(nsh):
+                    pos = jnp.where(px[i] >= 0, rb + px[i], -1)
+                    hit = (iota == pos).astype(jnp.float32)
+                    pmat = jnp.zeros((c, n, q_block), jnp.float32)
+                    for r, (kx, ky) in enumerate(_ROWS_2D):
+                        pmat = pmat + (wy[ky][j] * wx[kx][i])[None] * \
+                            gv[r][:, None, :]
+                    contrib = contrib + mxu.onehot_dot(
+                        pmat.reshape(c * n, q_block), hit,
+                        (((1,), (1,)), ((), ())))            # (C*N, K)
 
-        @pl.when(meta_ref[0, 0, _MB_SN] == 0)
-        def _():
-            cp2 = pltpu.make_async_copy(scratch, out_ref.at[pl.ds(bbin, 1)],
-                                        sem_out)
-            cp2.start()
-            cp2.wait()
+            @pl.when(meta_ref[0, s, _MB_SP] == 0)
+            def _():
+                cp.wait()
+            scratch[...] = scratch[...] + contrib[None]
+
+            @pl.when(meta_ref[0, s, _MB_SN] == 0)
+            def _():
+                cp2 = pltpu.make_async_copy(scratch,
+                                            out_ref.at[pl.ds(bbin, 1)],
+                                            sem_out)
+                cp2.start()
+                cp2.wait()
 
 
 def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
-                     n_cells: int, q_block: int, interpret: bool, out_dtype,
-                     plan=None):
+                     n_cells: int, q_block: int, sb: int, interpret: bool,
+                     out_dtype, plan=None):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (5*C, QP) f32, slot-ordered per the _ybin layout of ``points``
-    (padding slots are masked in-kernel via occ)."""
+    (padding slots are masked in-kernel via occ); QP may be the plan's
+    un-sb-padded size — the sub-block tail (hasv == 0) is zero-padded
+    here."""
     h, w = in_spatial
     n = n_cells
     npad = _npad(n)
@@ -456,13 +511,18 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
     nby, hp = _geom2(h, gy, fp)
     positions, occ, y0, hasv, pts_p, qp = _plan_or_bin2(
         points, h, cfg, q_block, gy, plan)
+    occ, y0, hasv, pts_p, qp = _pad_super(occ, y0, hasv, pts_p, qp,
+                                          q_block, sb)
     k_rows = 5
     c = gq.shape[0] // k_rows
+    if gq.shape[1] < qp:
+        gq = jnp.pad(gq, ((0, 0), (0, qp - gq.shape[1])))
     nblocks = qp // q_block
+    nsuper = nblocks // sb
 
     xyv = jnp.concatenate(
         [pts_p.T, occ[None].astype(jnp.float32)], axis=0
-    ).reshape(3, nblocks, q_block).transpose(1, 0, 2)
+    ).reshape(3, nsuper, sb * q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     wins0 = jnp.zeros((nby, c * npad, rows * wp), jnp.float32)
@@ -472,22 +532,22 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
     sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
     sp = jnp.roll(sn, 1).at[0].set(0)
     meta = jnp.stack([y0, hasv, sp, sn],
-                     axis=1).astype(jnp.int32).reshape(nblocks, 1, 4)
+                     axis=1).astype(jnp.int32).reshape(nsuper, sb, 4)
 
     kernel = functools.partial(
         _fused2w_bwd_kernel, cfg=cfg, spatial=(h, w), gy=gy,
-        q_block=q_block, channels=c, n_cells=npad, wp=wp)
+        q_block=q_block, sb=sb, channels=c, n_cells=npad, wp=wp)
     wins = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, 3, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, 3, sb * q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((1, sb, 4), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_rows * c, q_block), lambda qi: (0, qi),
+            pl.BlockSpec((k_rows * c, sb * q_block), lambda qi: (0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -510,10 +570,11 @@ def _bwd_from_slots2(gq, points, in_spatial, cfg: SamplerConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "interpret"))
+                                             "q_block", "sb", "interpret"))
 def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
                        cfg: SamplerConfig, n_cells: int,
-                       q_block: int | None = None, interpret: bool = False):
+                       q_block: int | None = None, sb: int = 1,
+                       interpret: bool = False):
     """Cells-cotangent of pallas_fused2w_blend: (N, C, H, W)."""
     h, w = in_spatial
     k_rows, c, q = g.shape
@@ -523,15 +584,15 @@ def pallas_fused2w_bwd(g, points, in_spatial: Tuple[int, ...],
     gq = scatter_to_slots(
         g.reshape(k_rows * c, q).astype(jnp.float32).T, positions, qp).T
     return _bwd_from_slots2(gq, points, in_spatial, cfg, n_cells, q_block,
-                            interpret,
+                            sb, interpret,
                             jnp.promote_types(g.dtype, points.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
-                                             "q_block", "interpret"))
+                                             "q_block", "sb", "interpret"))
 def pallas_fused2w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
-                              q_block: int | None = None,
+                              q_block: int | None = None, sb: int = 1,
                               interpret: bool = False, plan=None):
     """Cells-cotangent taking the slot-space (5, C, QP) cotangent of
     pallas_fused2w_blend_padded directly — no scatter pass."""
@@ -539,6 +600,6 @@ def pallas_fused2w_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
     q_block = _resolve_qb(cfg, (n_cells, c, *in_spatial), q_block)
     gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
     return _bwd_from_slots2(gq, points, in_spatial, cfg, n_cells, q_block,
-                            interpret,
+                            sb, interpret,
                             jnp.promote_types(g_p.dtype, points.dtype),
                             plan=plan)

@@ -114,7 +114,7 @@ def lookup(generation: str, cells_shape, cfg,
     if not entry:
         return None
     return {k: int(v) for k, v in entry.items()
-            if k in ("q_block", "gy", "rb")} or None
+            if k in ("q_block", "gy", "rb", "sb")} or None
 
 
 def record(generation: str, cells_shape, cfg, n_queries: int, params: dict,
@@ -149,7 +149,14 @@ def _modules():
 def _candidates(generation: str):
     """(q_block[, gy, rb]) grid per generation.  v4's gy widens the bin
     (fewer bins -> fewer padding-tail blocks, but a taller per-query MXU
-    window) and rb widens the super-brick DMA — two real knobs there."""
+    window) and rb widens the super-brick DMA — two real knobs there.
+
+    The v2w kernels also take ``sb`` (sub-blocks per grid step,
+    fused2w._pad_super) and lookup() honors recorded entries carrying it,
+    but it is not in the default sweep: measured a wash on the flagship
+    workload (scripts/tune_sb.py: 4.86/4.91/4.87 ms at sb=1/4/8 — the
+    per-grid-step cost of the windowed kernels is already overlapped,
+    unlike the v4 bricked 16k-block grids where it was first measured)."""
     if generation == "v3b":
         return [{"q_block": qb, "gy": gy, "rb": rb}
                 for qb in (128, 256) for gy in (2, 4) for rb in (4, 8)]
@@ -224,13 +231,13 @@ def tune(generation: str, cells, points, cfg, *, reps: int = 30,
         # judged on the slot layout they would actually run with.
         from ..ops.fused import trim_plan
         plan = trim_plan(mod.make_plan(points, spatial, cfg, **cand))
-        qp = plan[1].shape[0]
 
         # parity gate: every candidate must reproduce the first candidate's
         # query-ordered output — a fast-but-wrong block geometry must never
         # win the table.
         out_p, _, pos = fwd_fn(cells, points, cfg, plan=plan,
                                interpret=interpret, **cand)
+        qp = out_p.shape[-1]   # >= the plan's slot count (sub-block padding)
         ordered = np.asarray(
             out_p.reshape(k_rows * c, qp)[:, pos])
         if ordered0 is None:

@@ -159,3 +159,59 @@ def test_v2w_wide_grid_sorted_bin_parity(monkeypatch, padding):
     # w'' terms reach ~2e4 here; slot-order accumulation differs from the
     # XLA scatter order, so allow f32 summation noise at that magnitude.
     np.testing.assert_allclose(got_b, want_b, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("sb", [2, 4])
+@pytest.mark.parametrize("padding", ["zeros", "reflection"])
+def test_v2w_subblocked_matches_sb1(sb, padding):
+    """sb sub-groups per grid step must be a pure grid re-cut: identical
+    query-ordered output and cells-cotangent to the sb=1 kernels."""
+    cfg = SamplerConfig(dim=2, padding_mode=padding, backend="pallas")
+    cells, pts = _data(21, lo=-1.3, hi=1.3)
+    want = pallas_fused2w_blend(cells, pts, cfg, q_block=64, interpret=True)
+    got = pallas_fused2w_blend(cells, pts, cfg, q_block=64, sb=sb,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    g = jnp.asarray(np.random.RandomState(22).rand(5, C, Q), jnp.float32)
+    want_b = pallas_fused2w_bwd(g, pts, (6, 6), cfg, N_CELL, q_block=64,
+                                interpret=True)
+    got_b = pallas_fused2w_bwd(g, pts, (6, 6), cfg, N_CELL, q_block=64,
+                               sb=sb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+
+
+def test_v2w_subblocked_padded_roundtrip_with_plan():
+    """Slot-resident fwd/bwd under sb>1 with a precomputed (un-sb-padded)
+    plan: the padded slot count grows to a multiple of sb*q_block, padding
+    slots stay zero/flagged, and the bwd accepts the grown cotangent."""
+    from cosinesampler_tpu.ops.pallas.fused2w import (
+        make_plan, pallas_fused2w_blend_padded, pallas_fused2w_bwd_padded)
+    cfg = SamplerConfig(dim=2, backend="pallas")
+    cells, pts = _data(23)
+    qb, sb = 64, 4
+    plan = make_plan(pts, (6, 6), cfg, q_block=qb, sb=sb)
+    out_p, occ, pos = pallas_fused2w_blend_padded(
+        cells, pts, cfg, q_block=qb, sb=sb, interpret=True, plan=plan)
+    assert out_p.shape[-1] % (sb * qb) == 0
+    assert occ.shape[0] == out_p.shape[-1]
+    # padding slots are zero
+    np.testing.assert_array_equal(
+        np.asarray(out_p)[..., np.asarray(occ) == 0], 0.0)
+    # query-ordered parity with the XLA oracle
+    ordered = np.asarray(out_p.reshape(5 * C, -1)[:, pos]).reshape(5, C, Q)
+    want = np.asarray(fused.xla_fused_blend(cells, pts, cfg))
+    np.testing.assert_allclose(ordered, want, rtol=3e-4, atol=1e-4)
+    # bwd from the padded cotangent == bwd from the query-ordered one
+    rng = np.random.RandomState(24)
+    g = jnp.asarray(rng.rand(5, C, Q), jnp.float32)
+    from cosinesampler_tpu.ops.pallas.fused3b import scatter_to_slots
+    qp = out_p.shape[-1]
+    g_p = scatter_to_slots(
+        g.reshape(5 * C, Q).T, pos, qp).T.reshape(5, C, qp)
+    got_b = pallas_fused2w_bwd_padded(g_p, pts, (6, 6), cfg, N_CELL,
+                                      q_block=qb, sb=sb, interpret=True,
+                                      plan=plan)
+    want_b = pallas_fused2w_bwd(g, pts, (6, 6), cfg, N_CELL, q_block=qb,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-6)
