@@ -17,6 +17,7 @@ Prints ONE JSON line:
 Progress lines go to stderr so the driver still gets exactly one stdout line.
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -326,6 +327,105 @@ def _bench_large_sweep():
         log(f"large sweep planned train failed ({type(e).__name__})")
         out["train_planned_ms"] = float("nan")
         out["train_planned_mpts"] = float("nan")
+
+    try:
+        # bf16 cells through the same slot fwd pass: half the brick DMA
+        # bytes and ONE MXU pass instead of 3 (mxu.data_cast / data_terms
+        # — the TPU-native analog of the reference's half dispatch,
+        # cosine_sampler_2d_kernel.cu:905)
+        cells16 = cells.astype(jnp.bfloat16)
+        jax.block_until_ready(many_fwd(pts, cells16))
+        sec = min(_timed(many_fwd, pts * (0.999 - 1e-4 * i), cells16)
+                  for i in range(3)) / reps
+        out["fwd_bf16_mpts"] = 1.0 / sec
+        log(f"large sweep v4 fwd (slot, bf16): {sec * 1e3:.0f} ms = "
+            f"{out['fwd_bf16_mpts']:.1f} Mpts/s")
+    except Exception as e:  # pragma: no cover
+        log(f"large sweep bf16 fwd failed ({type(e).__name__})")
+        out["fwd_bf16_mpts"] = float("nan")
+
+    try:
+        # vol-resident planned step: the cells live in the v4 KERNEL
+        # layout across steps (ops.fused.make_fused_vol), deleting the
+        # per-step ~0.6 GB volume pad+transpose (fwd) and gradient
+        # crop+transpose (bwd) that the kernels never see (VERDICT r2 #1)
+        step_vol = jax.jit(pinn.make_train_step(pcfg, optimizer,
+                                                vol_resident=True))
+        params_v = pinn.params_to_vol(params, pcfg, pts.shape[0])
+        opt_state_v = optimizer.init(params_v)
+
+        @jax.jit
+        def many_step_vol(params_v, opt_state_v, p, plan):
+            def body(carry, _):
+                pp, ss = carry
+                pp, ss, lval = step_vol(pp, ss, p, plan)
+                return (pp, ss), lval
+            (_, _), losses = jax.lax.scan(body, (params_v, opt_state_v),
+                                          None, length=reps)
+            return losses
+
+        def one_trial_vol(i):
+            p = pts * (0.999 - 1e-4 * i)
+            plan = plan_of(p)
+            jax.block_until_ready(plan)
+            return _timed(many_step_vol, params_v, opt_state_v, p, plan)
+
+        jax.block_until_ready(
+            many_step_vol(params_v, opt_state_v, pts, plan_of(pts)))
+        sec = min(one_trial_vol(i) for i in range(3)) / reps
+        out["train_vol_ms"] = sec * 1e3
+        out["train_vol_mpts"] = 1.0 / sec
+        log(f"large sweep train step (vol-resident): {sec * 1e3:.0f} ms = "
+            f"{out['train_vol_mpts']:.1f} Mpts/s")
+    except Exception as e:  # pragma: no cover
+        log(f"large sweep vol-resident train failed ({type(e).__name__})")
+        out["train_vol_ms"] = float("nan")
+        out["train_vol_mpts"] = float("nan")
+
+    try:
+        # bf16 vol-resident train: under precision="bf16" the KERNEL-layout
+        # volume itself is bf16 (params_to_vol quantizes via mxu.data_cast),
+        # so the master+optimizer state live at half the HBM and every
+        # brick DMA moves half the bytes — full-bf16 training, the closest
+        # analog of running the reference end-to-end in half
+        pcfg16 = dataclasses.replace(pcfg, precision="bf16")
+        step_v16 = jax.jit(pinn.make_train_step(pcfg16, optimizer,
+                                                vol_resident=True))
+        params_v16 = pinn.params_to_vol(params, pcfg16, pts.shape[0])
+        opt_state_v16 = optimizer.init(params_v16)
+        # the autotune signature includes the precision, so the bf16 route
+        # may tune a different slot geometry — build ITS plan, not exact's
+        plan16_of = lambda p: make_sample_plan(p, (16, 4, 128, 128, 128),
+                                               pcfg16.sampler)
+
+        @jax.jit
+        def many_step_v16(params_v, opt_state_v, p, plan):
+            def body(carry, _):
+                pp, ss = carry
+                pp, ss, lval = step_v16(pp, ss, p, plan)
+                return (pp, ss), lval
+            (_, _), losses = jax.lax.scan(body, (params_v, opt_state_v),
+                                          None, length=reps)
+            return losses
+
+        def one_trial_v16(i):
+            p = pts * (0.999 - 1e-4 * i)
+            plan = plan16_of(p)
+            jax.block_until_ready(plan)
+            return _timed(many_step_v16, params_v16, opt_state_v16, p, plan)
+
+        jax.block_until_ready(
+            many_step_v16(params_v16, opt_state_v16, pts, plan16_of(pts)))
+        sec = min(one_trial_v16(i) for i in range(3)) / reps
+        out["train_vol_bf16_ms"] = sec * 1e3
+        out["train_vol_bf16_mpts"] = 1.0 / sec
+        log(f"large sweep train step (vol-resident bf16): {sec * 1e3:.0f} "
+            f"ms = {out['train_vol_bf16_mpts']:.1f} Mpts/s")
+    except Exception as e:  # pragma: no cover
+        log(f"large sweep bf16 vol-resident train failed "
+            f"({type(e).__name__})")
+        out["train_vol_bf16_ms"] = float("nan")
+        out["train_vol_bf16_mpts"] = float("nan")
     return out
 
 
@@ -445,6 +545,26 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"3d fast-precision bench failed ({type(e).__name__})")
         ips_3d_fast = float("nan")
+    ips_2d_prec = {}
+    for prec in ("fast", "bf16"):
+        # 2D flagship at the two reduced-precision MXU modes ("fast":
+        # 2-pass split ~4e-6 rel err; "bf16": single pass on bf16-quantized
+        # cells, ~2e-3 — see ops/pallas/mxu.py and BENCHMARKS.md's
+        # precision table); f32 master params either way
+        try:
+            cfg_p = dataclasses.replace(cfg, precision=prec)
+            step_p = jax.jit(pinn.make_train_step(cfg_p, optimizer,
+                                                  slot_resident=True))
+            ips_2d_prec[prec] = _bench(step_p, params, opt_state, pts,
+                                       f"fused@100k[{prec}]")
+        except Exception as e:  # pragma: no cover
+            log(f"2d {prec}-precision bench failed ({type(e).__name__})")
+            ips_2d_prec[prec] = float("nan")
+    try:
+        ips_3d_bf16 = _bench_3d(optimizer, precision="bf16")
+    except Exception as e:  # pragma: no cover
+        log(f"3d bf16-precision bench failed ({type(e).__name__})")
+        ips_3d_bf16 = float("nan")
     try:
         large = _bench_large_sweep()
     except Exception as e:  # pragma: no cover
@@ -470,14 +590,25 @@ def main():
             "fused3d_v5_fwd_mxu_pct": round(mxu3_pct, 1),
             "pinn3d_helmholtz_50x4x16c_100k_iters_per_sec": round(ips_3d, 3),
             "pinn3d_fast_precision_iters_per_sec": round(ips_3d_fast, 3),
+            "pinn3d_bf16_precision_iters_per_sec": round(ips_3d_bf16, 3),
+            "pinn2d_fast_precision_iters_per_sec":
+                round(ips_2d_prec.get("fast", float("nan")), 3),
+            "pinn2d_bf16_precision_iters_per_sec":
+                round(ips_2d_prec.get("bf16", float("nan")), 3),
             "large_sweep_16x4x128c_1M_fused_fwd_mpts_per_sec":
                 round(large["fwd_mpts"], 2),
             "large_sweep_16x4x128c_1M_fused_bwd_mpts_per_sec":
                 round(large["bwd_mpts"], 2),
+            "large_sweep_16x4x128c_1M_fused_fwd_bf16_mpts_per_sec":
+                round(large.get("fwd_bf16_mpts", float("nan")), 2),
+            "large_sweep_16x4x128c_1M_train_step_vol_bf16_ms":
+                round(large.get("train_vol_bf16_ms", float("nan")), 1),
             "large_sweep_16x4x128c_1M_train_step_ms":
                 round(large["train_ms"], 1),
             "large_sweep_16x4x128c_1M_train_step_planned_ms":
                 round(large.get("train_planned_ms", float("nan")), 1),
+            "large_sweep_16x4x128c_1M_train_step_vol_ms":
+                round(large.get("train_vol_ms", float("nan")), 1),
         },
     }))
 

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.config import SamplerConfig
-from ..ops.fused import sample_features_padded, sample_features_with_derivs
+from ..ops.fused import (make_fused_vol, sample_features_padded,
+                         sample_features_with_derivs)
 from ..ops.sampler import sample
 
 
@@ -175,6 +176,48 @@ def loss_fused_slots(params, pts, cfg: PINNConfig, plan=None):
     return jnp.sum(jnp.square(f) * occ) / pts.shape[0]
 
 
+def _fused_vol_for(cfg: PINNConfig, n_queries: int):
+    """The kernel-layout fused op bundle for this trainer shape (or raise:
+    vol-resident training only exists where the relayout it deletes does,
+    i.e. the HBM-resident v4 route)."""
+    ops = make_fused_vol(cfg.sampler, cfg.n_cells, cfg.cell_dim,
+                         (cfg.cell_size,) * cfg.dim, n_queries)
+    if ops is None:
+        raise ValueError(
+            "vol_resident training requires a config/shape that routes to "
+            "the HBM-resident v4 generation (large 3D volumes); this one "
+            "does not — use slot_resident/planned instead")
+    return ops
+
+
+def params_to_vol(params, cfg: PINNConfig, n_queries: int):
+    """Convert the ``cells`` leaf to the kernel layout (one-time, before
+    the vol-resident training loop; see ops.fused.make_fused_vol)."""
+    _, to_vol, _ = _fused_vol_for(cfg, n_queries)
+    return {**params, "cells": to_vol(params["cells"])}
+
+
+def params_from_vol(params, cfg: PINNConfig, n_queries: int):
+    """Inverse of params_to_vol (at the end of the loop / for checkpoints
+    in the portable API layout)."""
+    _, _, from_vol = _fused_vol_for(cfg, n_queries)
+    return {**params, "cells": from_vol(params["cells"])}
+
+
+def loss_fused_slots_vol(params, pts, cfg: PINNConfig, plan=None):
+    """loss_fused_slots with ``params['cells']`` in the KERNEL layout.
+
+    Identical loss value (up to fp summation order); the per-step volume
+    pad+transpose of the forward and the gradient crop+transpose of the
+    backward disappear — the two ~0.6 GB relayouts that dominated the
+    128^3 train step's non-kernel time (VERDICT r2 #1)."""
+    fused_vol, _, _ = _fused_vol_for(cfg, pts.shape[0])
+    feats, occ, _ = fused_vol(params["cells"], pts, plan)
+    u, u_d, u_dd = _mlp_derivs(params, feats, cfg.dim)
+    f = _residual_from_fields(u, u_d, u_dd, cfg)
+    return jnp.sum(jnp.square(f) * occ) / pts.shape[0]
+
+
 def residual(params, pts, cfg: PINNConfig):
     """PDE residual at the collocation points."""
     u = field(params, pts, cfg)
@@ -197,7 +240,8 @@ def loss(params, pts, cfg: PINNConfig):
 
 
 def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
-                    slot_resident: bool = False, planned: bool = False):
+                    slot_resident: bool = False, planned: bool = False,
+                    vol_resident: bool = False):
     """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready.
 
     ``fused=True`` uses the single-pass value/derivative sampler
@@ -212,7 +256,26 @@ def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
     collocation points (test_2d.py:23-26, test_3d.py:16-19); see
     ops/fused.py:make_fused_planned for measured savings per trainer
     shape.
+    ``vol_resident=True`` (implies planned) additionally keeps
+    ``params['cells']`` in the sampler's KERNEL layout across steps
+    (convert once with params_to_vol / back with params_from_vol, and
+    init the optimizer on the converted params): the per-step volume
+    relayouts of the v4 route disappear (loss_fused_slots_vol).  The
+    optimizer runs on the padded volume; its update must vanish at zero
+    gradient + zero parameter (adam/sgd/adamw do) so the pad slots stay
+    exactly zero.
     """
+    if vol_resident:
+        def step(params, opt_state, pts, plan):
+            lval, grads = jax.value_and_grad(
+                lambda p: loss_fused_slots_vol(p, pts, cfg, plan))(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, lval
+
+        return step
+
     if planned:
         def step(params, opt_state, pts, plan):
             lval, grads = jax.value_and_grad(

@@ -14,7 +14,7 @@ from .interpolants import canonical_kernel
 
 PADDING_MODES = ("zeros", "border", "reflection")
 BACKENDS = ("auto", "xla", "pallas")
-PRECISIONS = ("exact", "fast", "highest")
+PRECISIONS = ("exact", "fast", "bf16", "highest")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +42,11 @@ class SamplerConfig:
     #: (see ops/pallas/mxu.py).  "exact" (default): 3-pass bf16 split,
     #: bit-faithful to f32; "fast": 2-pass split, ~4e-6 relative error on
     #: the sampled values for ~1.5x MXU throughput on MXU-bound shapes;
+    #: "bf16": the cell data rides the kernels in bfloat16 — ONE MXU pass
+    #: and half the window/brick DMA bytes, ~2e-3 relative error (the
+    #: TPU-native analog of the reference's half dispatch,
+    #: cosine_sampler_2d_kernel.cu:905; accumulation stays f32; bf16 cell
+    #: ARRAYS get this automatically regardless of the flag);
     #: "highest": XLA's 6-pass algorithm (same values as "exact", slower
     #: — kept for A/B validation).  The XLA backend and the f64 path are
     #: always exact regardless of this flag.

@@ -165,7 +165,9 @@ def make_fused(cfg: SamplerConfig, n_cells: int, in_spatial: Tuple[int, ...]):
 
     def fused_bwd(res, g):
         cells, points = res
-        cells_bar = bwd_impl(g, points)
+        # the kernels accumulate in f32; the cotangent must match the
+        # primal dtype (bf16 cells -> bf16 cotangent)
+        cells_bar = bwd_impl(g, points).astype(cells.dtype)
         points_bar = _points_cotangent(cells, points, g, cfg, n_cells)
         return cells_bar, points_bar
 
@@ -239,7 +241,7 @@ def make_fused_padded(cfg: SamplerConfig, n_cells: int,
     def fused_bwd(res, gs):
         cells, points, positions = res
         g_p = gs[0]          # occ / positions cotangents: piecewise-const
-        cells_bar = bwd_impl_padded(g_p, points)
+        cells_bar = bwd_impl_padded(g_p, points).astype(cells.dtype)
         # points cotangent: gather the cotangent back to query order first
         q = points.shape[0]
         c = g_p.shape[1]
@@ -339,7 +341,7 @@ def make_fused_planned(cfg: SamplerConfig, n_cells: int,
     def fused_bwd(res, gs):
         cells, points, positions, plan = res
         g_p = gs[0]          # occ / positions cotangents: piecewise-const
-        cells_bar = bwd_impl_planned(g_p, points, plan)
+        cells_bar = bwd_impl_planned(g_p, points, plan).astype(cells.dtype)
         q = points.shape[0]
         c = g_p.shape[1]
         g_q = g_p.reshape(-1, g_p.shape[-1])[:, positions].reshape(
@@ -351,6 +353,72 @@ def make_fused_planned(cfg: SamplerConfig, n_cells: int,
     fused_pl.defvjp(fused_fwd, fused_bwd)
     _FUSED_PLANNED_CACHE[key] = fused_pl
     return fused_pl
+
+
+_FUSED_VOL_CACHE = {}
+
+
+def make_fused_vol(cfg: SamplerConfig, n_cells: int, channels: int,
+                   in_spatial: Tuple[int, ...], n_queries: int):
+    """Kernel-layout (vol-resident) fused op, or None when the config does
+    not route to the HBM-resident v4 generation.
+
+    Returns ``(fused_vol, to_vol, from_vol)``:
+
+    * ``to_vol(cells)`` / ``from_vol(vol)`` convert between the API
+      (N, C, D, H, W) layout and the kernel layout (fused3b.vol_layout) —
+      one-time, at the training-loop boundary.
+    * ``fused_vol(vol, points, plan) -> (out_p, occ, positions)`` is the
+      slot-resident fused op taking/emitting the KERNEL layout: its vjp
+      returns the volume cotangent in the same layout with pad slots
+      exactly zero (fused3b.vol_pad_mask_mul), so an optimizer can run
+      directly on ``vol`` and the pad-slot invariant (forward reads pads
+      as zeros) survives any optimizer whose update vanishes at zero
+      gradient and zero parameter (adam, sgd, adamw all qualify).
+
+    Motivation (VERDICT r2 #1): the query-ordered/padded APIs re-lay-out
+    the full volume every forward and crop/transpose the gradient back
+    every backward — at the 128^3 sweep two ~0.6 GB relayouts per train
+    step the kernels never see.  Training in the kernel layout deletes
+    both; measured step time is recorded in BENCHMARKS.md.
+    """
+    key = (cfg, n_cells, channels, tuple(in_spatial), n_queries)
+    cached = _FUSED_VOL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    hook = _resolve_fused(cfg, "fused_vol")
+    if hook is None:
+        return None
+    bundle = hook(cfg, (n_cells, channels, *in_spatial), n_queries)
+    if bundle is None:
+        return None
+
+    @jax.custom_vjp
+    def fused_v(vol, points, plan):
+        return bundle["blend"](vol, points, plan=plan)
+
+    def fused_fwd(vol, points, plan):
+        out = fused_v(vol, points, plan)
+        return out, (vol, points, out[2], plan)
+
+    def fused_bwd(res, gs):
+        vol, points, positions, plan = res
+        g_p = gs[0]          # occ / positions cotangents: piecewise-const
+        vol_bar = bundle["bwd"](g_p, points, plan=plan).astype(vol.dtype)
+        q = points.shape[0]
+        c = g_p.shape[1]
+        g_q = g_p.reshape(-1, g_p.shape[-1])[:, positions].reshape(
+            1 + 2 * cfg.dim, c, q)
+        # DCE'd when the caller does not differentiate w.r.t. the points
+        points_bar = _points_cotangent(bundle["from_vol"](vol), points, g_q,
+                                       cfg, n_cells)
+        plan_bar = jax.tree_util.tree_map(_zero_cotangent, plan)
+        return vol_bar, points_bar, plan_bar
+
+    fused_v.defvjp(fused_fwd, fused_bwd)
+    result = (fused_v, bundle["to_vol"], bundle["from_vol"])
+    _FUSED_VOL_CACHE[key] = result
+    return result
 
 
 def trim_plan(plan, block_bucket: int | None = None):

@@ -211,6 +211,46 @@ def _fused_padded_bwd(g_p, points, in_spatial, cfg, n_cells, plan=None):
                                **_tuned(mod, cfg, shape, points.shape[0]))
 
 
+def _fused_vol_bundle(cfg, cells_shape, n_queries):
+    """Kernel-layout (vol-resident) op bundle for this config, or None.
+
+    Only the HBM-resident v4 generation pays a per-call volume relayout
+    worth eliminating (fused3b.vol_layout); every other route keeps its
+    cells in API layout, so this returns None and callers use the padded
+    path.  The bundle closes over the tuned kwargs so the plan, blend and
+    bwd all agree on the slot/volume geometry."""
+    if _f64() or _strict_mixed_align(cfg):
+        return None
+    cells_shape = tuple(cells_shape)
+    if _padded_route(cfg, cells_shape, n_queries) is not fused3b:
+        return None
+    kw = _tuned(fused3b, cfg, cells_shape, n_queries)
+    qb = kw.get("q_block", fused3b.V3B_Q_BLOCK)
+    gy = kw.get("gy", fused3b.V3B_GY)
+    rb = kw.get("rb")
+    n, c = cells_shape[:2]
+    spatial = cells_shape[2:]
+
+    def to_vol(cells):
+        return fused3b.cells_to_vol(cells, cfg, gy=gy, rb=rb)
+
+    def from_vol(vol):
+        return fused3b.vol_to_cells(vol, n, c, spatial, cfg)
+
+    def blend(vol, points, plan=None):
+        return fused3b.pallas_fused3b_blend_vol(
+            vol, points, cfg, n, c, spatial, q_block=qb, gy=gy, rb=rb,
+            interpret=INTERPRET, plan=plan)
+
+    def bwd(g_p, points, plan=None):
+        return fused3b.pallas_fused3b_bwd_vol(
+            g_p, points, spatial, cfg, n, q_block=qb, gy=gy, rb=rb,
+            interpret=INTERPRET, plan=plan)
+
+    return {"to_vol": to_vol, "from_vol": from_vol, "blend": blend,
+            "bwd": bwd}
+
+
 def _fused_plan(points, cells_shape, cfg):
     """Precompute the bin plan for the padded kernel this config routes to
     (None when no slot-resident kernel applies — identity plan).
@@ -234,7 +274,7 @@ for _dim in (2, 3):
                      fused_bwd=_fused_bwd)
     register_backend("pallas", _dim, fused_padded=_fused_padded,
                      fused_padded_bwd=_fused_padded_bwd,
-                     fused_plan=_fused_plan)
+                     fused_plan=_fused_plan, fused_vol=_fused_vol_bundle)
 
 __all__ = ["pallas_blend", "pallas_splat", "pallas_fused_blend",
            "pallas_fused_bwd", "INTERPRET"]

@@ -86,7 +86,7 @@ def _fused2_blend_kernel(x_ref, y_ref, valid_ref, off_ref, cells_ref,
     # Split the resident cell stack into exact bf16 terms ONCE; each of the
     # 9 one-hot panels then contracts in EXACT_PASSES MXU passes instead of
     # HIGHEST's 6 (see mxu.py — the selector is exactly bf16-representable).
-    cells_terms = mxu.split_bf16(cells_ref[:], mxu.passes_for(cfg))  # (C*N, H*W)
+    cells_terms = mxu.data_terms(cells_ref[:], mxu.passes_for(cfg))  # (C*N, H*W)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_2D]
     for j in range(len(hy)):
         for i in range(len(hx)):
@@ -120,7 +120,7 @@ def pallas_fused2_blend(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
-    cells_flat = cells_p.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
+    cells_flat = mxu.data_cast(cells_p, cfg).transpose(1, 0, 2, 3).reshape(
         c * npad, h * w)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
@@ -180,7 +180,8 @@ def _fused2_bwd_kernel(x_ref, y_ref, valid_ref, first_ref, off_ref, g_ref,
                 p = p + coeff[None, :, :] * gv[r][:, None, :]
             contrib = contrib + mxu.onehot_dot(
                 p.reshape(c * n, q_block), a_ji,
-                (((1,), (1,)), ((), ())))                 # (C*N, H*W)
+                (((1,), (1,)), ((), ())),
+                passes=mxu.passes_for(cfg))                 # (C*N, H*W)
     out_ref[:] += contrib
 
 

@@ -227,11 +227,13 @@ def _plan_or_bin2(points, h, cfg, q_block, gy, plan):
     return positions, occ, y0, hasv, pts_p, qp
 
 
-def _pad_grid(cells, h, w, hp, wp, fp=2):
+def _pad_grid(cells, h, w, hp, wp, fp=2, cfg=None):
     """(N,C,H,W) -> zero-padded (C*N, Hp, Wp) layout; texel row t sits at
-    padded t + fp (fp = 3 absorbs reflection's shift_lo = -1 corner)."""
+    padded t + fp (fp = 3 absorbs reflection's shift_lo = -1 corner).
+    bf16 cells keep their dtype (mxu.data_cast): half the window DMA
+    bytes, single-pass MXU."""
     n, c = cells.shape[:2]
-    cells_f = cells.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
+    cells_f = mxu.data_cast(cells, cfg).transpose(1, 0, 2, 3).reshape(
         c * n, h, w)
     return jnp.pad(cells_f, ((0, 0), (fp, hp - h - fp), (0, wp - w)))
 
@@ -317,7 +319,7 @@ def _fused2w_blend_kernel(xyv_ref, meta_ref, off_ref,
             ry, wy, ymask = _y_prep(xyv_ref[0, 1:2, sl], h, cfg, off_col,
                                     y0, gy)
             mask = valid * ymask
-            terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
+            terms = mxu.data_terms(scratch[pl.ds(p, 1)][0],
                                    mxu.passes_for(cfg))       # (C*N, K)
             rows_acc = [jnp.zeros((c, n, q_block), jnp.float32)
                         for _ in _ROWS_2D]
@@ -371,7 +373,8 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 3)
-    wins = _windows2(_pad_grid(cells_p, h, w, hp, wp, fp), nby, gy, rows)
+    wins = _windows2(_pad_grid(cells_p, h, w, hp, wp, fp, cfg), nby, gy,
+                     rows)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     bb = y0 // gy
     bbn = jnp.roll(bb, -1).at[-1].set(bb[-1])
@@ -400,7 +403,7 @@ def pallas_fused2w_blend_padded(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, c * npad, rows * wp), jnp.float32),
+            pltpu.VMEM((2, c * npad, rows * wp), wins.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -479,7 +482,8 @@ def _fused2w_bwd_kernel(xyv_ref, meta_ref, off_ref, g_ref, wins0_ref,
                             gv[r][:, None, :]
                     contrib = contrib + mxu.onehot_dot(
                         pmat.reshape(c * n, q_block), hit,
-                        (((1,), (1,)), ((), ())))            # (C*N, K)
+                        (((1,), (1,)), ((), ())),
+                passes=mxu.passes_for(cfg))            # (C*N, K)
 
             @pl.when(meta_ref[0, s, _MB_SP] == 0)
             def _():

@@ -332,32 +332,100 @@ def _axis_prep_window(coord, size, cfg, off_col, q_block, start, gy):
     return hits, cell_weights(base, ixn, scale, cfg), ymask
 
 
-def _pad_volume(cells, d, h, w, hp, wp, fp: int = 2):
+def _pad_volume(cells, d, h, w, hp, wp, fp: int = 2, cfg=None):
     """(N,C,D,H,W) -> zero-padded (D+fp+2, C*N, Hp, Wp) HBM layout.
 
     Texel (z, y) sits at padded (z + fp, y + fp); windows anchored at the
     shared floor reach shift_lo = 2 - fp texels back, so the front pad
-    absorbs the widened reflection patch."""
+    absorbs the widened reflection patch.  bf16 cells keep their dtype
+    (mxu.data_cast): half the DMA bytes, single-pass MXU."""
     n, c = cells.shape[:2]
-    cells_f = cells.astype(jnp.float32).transpose(2, 1, 0, 3, 4).reshape(
+    cells_f = mxu.data_cast(cells, cfg).transpose(2, 1, 0, 3, 4).reshape(
         d, c * n, h, w)
     return jnp.pad(cells_f,
                    ((fp, 2), (0, 0), (fp, hp - h - fp), (0, wp - w)))
 
 
-def _pad_volume_yzc(cells, d, h, w, hp, wp, fp: int = 2):
+def _pad_volume_yzc(cells, d, h, w, hp, wp, fp: int = 2, cfg=None):
     """(N,C,D,H,W) -> zero-padded (Hp, D+fp+2, C*N, Wp) HBM layout.
 
     y outermost so a brick window slice (wy_rows, nsh, C*N, Wp) lands in
     VMEM with the window ROW as the leading scratch dim: the stage-2 row
     blend then slices the stage-1 panel at (nsh*C*N)-row granularity —
     tile-aligned — instead of reshaping to a 5D array whose (wy_rows, Wp)
-    minor dims pad 4 sublanes to 8 (a full relayout per panel)."""
+    minor dims pad 4 sublanes to 8 (a full relayout per panel).  bf16
+    cells keep their dtype (mxu.data_cast)."""
     n, c = cells.shape[:2]
-    cells_f = cells.astype(jnp.float32).transpose(3, 2, 1, 0, 4).reshape(
+    cells_f = mxu.data_cast(cells, cfg).transpose(3, 2, 1, 0, 4).reshape(
         h, d, c * n, w)
     return jnp.pad(cells_f,
                    ((fp, hp - h - fp), (fp, 2), (0, 0), (0, wp - w)))
+
+
+def vol_layout(n: int, c: int, in_spatial, cfg: SamplerConfig,
+               gy: int = V3B_GY, rb: int | None = None):
+    """(rb, hp, wp, npad) geometry of the kernel-layout volume.
+
+    The kernel layout is the zero-padded (Hp, D+fp+2, C*Npad, Wp) array
+    the v4 kernels DMA from (see _pad_volume_yzc).  It is exposed so
+    training loops can keep the cells IN this layout across steps: the
+    query-ordered API re-transposes + pads the full volume on every
+    forward and crops/transposes the gradient back on every backward —
+    at the 128^3 sweep two ~0.6 GB relayouts per train step that can
+    never be hoisted because the cells change every step (the v4 kernel
+    itself is ~28.5 ms while the billed pass was 90 ms, VERDICT r2)."""
+    d, h, w = in_spatial
+    rb = rb or _rb_fit(cfg, n, c, w, gy)
+    hp = _geom(d, h, gy, front_pad(cfg), rb)[3]
+    return rb, hp, _wpad(w), _npad(n)
+
+
+def cells_to_vol(cells, cfg: SamplerConfig, gy: int = V3B_GY,
+                 rb: int | None = None):
+    """(N, C, D, H, W) -> the kernel-layout volume (one-time, at the API
+    boundary; see vol_layout)."""
+    n, c, d, h, w = cells.shape
+    rb, hp, wp, npad = vol_layout(n, c, (d, h, w), cfg, gy, rb)
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
+    return _pad_volume_yzc(cells_p, d, h, w, hp, wp, front_pad(cfg))
+
+
+def vol_to_cells(vol, n: int, c: int, in_spatial, cfg: SamplerConfig):
+    """Kernel-layout volume -> (N, C, D, H, W) (inverse of cells_to_vol)."""
+    d, h, w = in_spatial
+    fp = front_pad(cfg)
+    hp, dfp, cn, wp = vol.shape
+    npad = cn // c
+    acc = vol.reshape(hp, dfp, c, npad, wp)[fp:fp + h, fp:fp + d, :, :n, :w]
+    return acc.transpose(3, 2, 1, 0, 4)
+
+
+def vol_pad_mask_mul(vol_bar, n: int, c: int, in_spatial,
+                     cfg: SamplerConfig):
+    """Zero the padding slots of a kernel-layout cotangent.
+
+    The bwd kernel scatters out-of-bounds corner contributions into the
+    pad rows/columns unconditionally and relies on the API-boundary crop
+    to discard them (the CUDA reference instead bounds-checks each atomic,
+    cosine_sampler_3d_kernel.cu:506-523).  A vol-resident training loop
+    has no crop, so the vjp masks instead: pad slots must stay EXACTLY
+    zero across steps or later forwards would read them as real texels.
+    One fused elementwise pass (~1.3 GB of traffic at the 128^3 sweep vs
+    the ~two 0.6 GB relayouts it replaces)."""
+    d, h, w = in_spatial
+    fp = front_pad(cfg)
+    hp, dfp, cn, wp = vol_bar.shape
+    npad = cn // c
+    dt = vol_bar.dtype
+    ay = jnp.arange(hp)
+    az = jnp.arange(dfp)
+    an = jnp.arange(cn)
+    ax = jnp.arange(wp)
+    m = (((ay >= fp) & (ay < fp + h)).astype(dt)[:, None, None, None]
+         * ((az >= fp) & (az < fp + d)).astype(dt)[None, :, None, None]
+         * ((an % npad) < n).astype(dt)[None, None, :, None]
+         * (ax < w).astype(dt)[None, None, None, :])
+    return vol_bar * m
 
 
 def _axis_prep_wp(coord, size, wp, cfg, off_col, q_block):
@@ -450,7 +518,7 @@ def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
         # granularity, tile-aligned.
         rows = scratch[pl.ds(rows_s * p + (y0 - ys), wy_rows)].reshape(
             wy_rows * cn3, wpad)
-        terms = mxu.split_bf16(rows, mxu.passes_for(cfg))
+        terms = mxu.data_terms(rows, mxu.passes_for(cfg))
         b1 = [
             mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
             for i in range(nsh)
@@ -487,39 +555,24 @@ def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
-                                             "interpret"))
-def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
-                                q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                                rb: int | None = None,
-                                interpret: bool = False, plan=None):
-    """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
-
-    At the 1M-point sweep the query-ordered API's output gather and
-    cotangent scatter cost ~5-6 ms each (see _brick_bin); slot-resident
-    consumers (models/pinn.py slot_resident=True) skip both.  ``plan``
-    (from make_plan, for fixed point sets) hoists the binning itself —
-    ~12 ms standalone at that scale (see make_plan for what each trainer
-    shape actually saves)."""
-    n, c, d, h, w = cells.shape
-    q = points.shape[0]
-    npad = _npad(n)
+def _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg: SamplerConfig,
+                  spatial, q_block: int, gy: int, rb: int, c: int,
+                  npad: int, n_real: int, interpret: bool):
+    """Shared pallas_call tail of the padded/vol blend entries: per-block
+    metadata + kernel launch over an already-kernel-layout volume.
+    Returns the (7, C, QP) f32 slot-ordered output."""
+    d, h, w = spatial
     fp = front_pad(cfg)
     nsh = n_shifts(cfg)
-    rb = rb or _rb_fit(cfg, n, c, w, gy)
-    nby, _, _, hp = _geom(d, h, gy, fp, rb)
-    wp = _wpad(w)
-    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
-        points, d, h, cfg, q_block, gy, plan)
+    nby = _geom(d, h, gy, fp, rb)[0]
+    wp = vol.shape[-1]
     nblocks = qp // q_block
 
     xyzv = jnp.concatenate(
         [pts_p.T, occ[None].astype(jnp.float32)], axis=0
     ).reshape(4, nblocks, q_block).transpose(1, 0, 2)
-    offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
-    vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp, fp)
+    offsets = multicell_offsets(n_real, cfg.multicell, jnp.float32)[:, None]
+    offsets = jnp.pad(offsets, ((0, npad - n_real), (0, 0)))
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     # Super-bin metadata: sbk identifies the block's super-brick (rb
     # consecutive y bins of one z slab — consecutive in the sort order),
@@ -580,7 +633,7 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * (rb * gy + fp), nsh, c * npad, wp),
-                       jnp.float32),
+                       vol.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -588,8 +641,65 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xyzv, meta, offsets, vol)
-    out = out.transpose(1, 0, 2).reshape(7, c, qp)
+    return out.transpose(1, 0, 2).reshape(7, c, qp)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
+                                             "interpret"))
+def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
+                                q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                                rb: int | None = None,
+                                interpret: bool = False, plan=None):
+    """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
+
+    At the 1M-point sweep the query-ordered API's output gather and
+    cotangent scatter cost ~5-6 ms each (see _brick_bin); slot-resident
+    consumers (models/pinn.py slot_resident=True) skip both.  ``plan``
+    (from make_plan, for fixed point sets) hoists the binning itself —
+    ~12 ms standalone at that scale (see make_plan for what each trainer
+    shape actually saves).  NOTE: this entry re-lays-out the whole volume
+    per call (_pad_volume_yzc); training loops should keep the cells in
+    the kernel layout instead (pallas_fused3b_blend_vol)."""
+    n, c, d, h, w = cells.shape
+    rb, hp, wp, npad = vol_layout(n, c, (d, h, w), cfg, gy, rb)
+    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
+        points, d, h, cfg, q_block, gy, plan)
+    cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
+    vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp, front_pad(cfg), cfg)
+    out = _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg, (d, h, w),
+                        q_block, gy, rb, c, npad, n, interpret)
     dtype = jnp.promote_types(cells.dtype, points.dtype)
+    return out.astype(dtype), occ, positions
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_cells", "channels",
+                                             "in_spatial", "q_block", "gy",
+                                             "rb", "interpret"))
+def pallas_fused3b_blend_vol(vol, points, cfg: SamplerConfig, n_cells: int,
+                             channels: int, in_spatial: Tuple[int, ...],
+                             q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                             rb: int | None = None, interpret: bool = False,
+                             plan=None):
+    """Slot-resident blend over a KERNEL-LAYOUT volume (see vol_layout).
+
+    Same contract as pallas_fused3b_blend_padded, but ``vol`` is the
+    (Hp, D+fp+2, C*Npad, Wp) array from cells_to_vol — no per-call volume
+    relayout.  Pad slots of ``vol`` must be exactly zero (cells_to_vol
+    guarantees it; the matching bwd keeps it true via vol_pad_mask_mul)."""
+    d, h, w = in_spatial
+    rb, hp, wp, npad = vol_layout(n_cells, channels, in_spatial, cfg, gy, rb)
+    expect = (hp, d + front_pad(cfg) + 2, channels * npad, wp)
+    if tuple(vol.shape) != expect:
+        raise ValueError(
+            f"vol has shape {tuple(vol.shape)}; the kernel layout for "
+            f"N={n_cells}, C={channels}, spatial={tuple(in_spatial)} is "
+            f"{expect} (build it with cells_to_vol)")
+    positions, occ, z0, y0, hasv, pts_p, qp = plan_or_bin(
+        points, d, h, cfg, q_block, gy, plan)
+    out = _blend3b_call(mxu.data_cast(vol, cfg), pts_p, occ, z0, y0, hasv,
+                        qp, cfg, (d, h, w), q_block, gy, rb, channels, npad,
+                        n_cells, interpret)
+    dtype = jnp.promote_types(vol.dtype, points.dtype)
     return out.astype(dtype), occ, positions
 
 
@@ -690,7 +800,8 @@ def _fused3b_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref,
             u = jnp.concatenate(rows_u, axis=0)        # (wy_rows*cn3, Qb)
             # stage 2 (MXU): scatter over x via the one-hot transpose
             contrib = contrib + mxu.onehot_dot(
-                u, hx[i], (((1,), (1,)), ((), ())))        # (rows, W)
+                u, hx[i], (((1,), (1,)), ((), ())),
+                passes=mxu.passes_for(cfg))        # (rows, W)
         @pl.when(meta_ref[0, 0, _BW_SP] == 0)
         def _():
             cp.wait()
@@ -711,11 +822,16 @@ def _fused3b_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref,
 
 def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
                       n_cells: int, q_block: int, gy: int, interpret: bool,
-                      out_dtype, rb: int | None = None, plan=None):
+                      out_dtype, rb: int | None = None, plan=None,
+                      crop: bool = True):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (7*C, QP) f32, slot-ordered per the _brick_bin layout of
-    ``points`` (padding slots are masked in-kernel via occ)."""
+    ``points`` (padding slots are masked in-kernel via occ).
+    ``crop=False`` keeps the accumulator in the kernel layout — the RMW
+    kernel's native output — with the pad-slot garbage zeroed via
+    vol_pad_mask_mul instead of cropped (the vol-resident training path:
+    no per-step 0.6 GB crop+transpose)."""
     d, h, w = in_spatial
     n = n_cells
     npad = _npad(n)
@@ -780,6 +896,8 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xyzv, meta, offsets, gq, vol0)
+    if not crop:
+        return vol_pad_mask_mul(acc, n, c, in_spatial, cfg).astype(out_dtype)
     acc = acc.reshape(hp, d + fp + 2, c, npad,
                       wp)[fp:fp + h, fp:fp + d, :, :n, :w]
     return acc.transpose(3, 2, 1, 0, 4).astype(out_dtype)
@@ -821,3 +939,25 @@ def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                              gy, interpret,
                              jnp.promote_types(g_p.dtype, points.dtype),
                              rb=rb, plan=plan)
+
+
+@functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
+                                             "q_block", "gy", "rb",
+                                             "interpret"))
+def pallas_fused3b_bwd_vol(g_p, points, in_spatial: Tuple[int, ...],
+                           cfg: SamplerConfig, n_cells: int,
+                           q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
+                           rb: int | None = None,
+                           interpret: bool = False, plan=None):
+    """Volume-cotangent of pallas_fused3b_blend_vol, IN the kernel layout
+    (Hp, D+fp+2, C*Npad, Wp) f32, pad slots exactly zero.
+
+    vol_to_cells(result) == pallas_fused3b_bwd_padded(same args): the RMW
+    kernel natively accumulates in this layout; this entry just skips the
+    crop+transpose and masks the pad garbage instead (vol_pad_mask_mul).
+    """
+    k_rows, c, qp = g_p.shape
+    gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
+    return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
+                             gy, interpret, jnp.float32, rb=rb, plan=plan,
+                             crop=False)

@@ -89,7 +89,7 @@ def _fused3_blend_kernel(x_ref, y_ref, z_ref, valid_ref, off_ref, cells_ref,
 
     # Exact bf16 split of the resident volume, computed once and contracted
     # against all 27 one-hot panels (see mxu.py).
-    cells_terms = mxu.split_bf16(cells_ref[:], mxu.passes_for(cfg))  # (C*N, DHW)
+    cells_terms = mxu.data_terms(cells_ref[:], mxu.passes_for(cfg))  # (C*N, DHW)
     rows_acc = [jnp.zeros((c, q_block), jnp.float32) for _ in _ROWS_3D]
     for k in range(len(hz)):
         for j in range(len(hy)):
@@ -124,7 +124,7 @@ def pallas_fused3_blend(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
-    cells_flat = cells_p.astype(jnp.float32).transpose(
+    cells_flat = mxu.data_cast(cells_p, cfg).transpose(
         1, 0, 2, 3, 4).reshape(c * npad, d * h * w)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
@@ -189,7 +189,8 @@ def _fused3_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, first_ref, off_ref,
                     p = p + coeff[None, :, :] * gv[r][:, None, :]
                 contrib = contrib + mxu.onehot_dot(
                     p.reshape(c * n, q_block), a,
-                    (((1,), (1,)), ((), ())))              # (C*N, D*H*W)
+                    (((1,), (1,)), ((), ())),
+                passes=mxu.passes_for(cfg))              # (C*N, D*H*W)
     out_ref[:] += contrib
 
 

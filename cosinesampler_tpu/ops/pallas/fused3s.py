@@ -132,7 +132,7 @@ def _fused3s_blend_kernel(x_ref, y_ref, z_ref, valid_ref, zf_ref, off_ref,
         zq = jnp.clip(zf + k, 0, d - 1)
         kmask = ((zf + k >= 0) & (zf + k <= d - 1)).astype(jnp.float32)
         slab = cells_ref[pl.ds(zq, 1), :, :][0]            # (C*N, H*W)
-        slab_terms = mxu.split_bf16(slab, mxu.passes_for(cfg))
+        slab_terms = mxu.data_terms(slab, mxu.passes_for(cfg))
         for j in range(3):
             for i in range(3):
                 v = mxu.onehot_dot_terms(
@@ -161,7 +161,7 @@ def pallas_fused3s_blend(cells, points, cfg: SamplerConfig,
     validf = valid.astype(jnp.float32).reshape(nblocks, 1, q_block)
     zf = zfloor_block.reshape(nblocks, 1, 1)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
-    cells_dcn = cells.astype(jnp.float32).transpose(2, 1, 0, 3, 4).reshape(
+    cells_dcn = mxu.data_cast(cells, cfg).transpose(2, 1, 0, 3, 4).reshape(
         d, c * n, h * w)
 
     coord_spec = pl.BlockSpec((1, 1, q_block), lambda qi: (qi, 0, 0),
@@ -232,7 +232,8 @@ def _fused3s_bwd_kernel(x_ref, y_ref, z_ref, valid_ref, first_ref, zf_ref,
                     p = p + coeff[None, :, :] * gv[r][:, None, :]
                 contrib = contrib + mxu.onehot_dot(
                     p.reshape(c * n, q_block), panels[3 * j + i],
-                    (((1,), (1,)), ((), ())))              # (C*N, H*W)
+                    (((1,), (1,)), ((), ())),
+                passes=mxu.passes_for(cfg))              # (C*N, H*W)
         out_ref[pl.ds(zq, 1), :, :] += contrib[None]
 
 

@@ -279,7 +279,7 @@ def _fused3w_blend_kernel(xyzv_ref, meta_ref, off_ref, win_ref, out_ref,
         ry, wy, ymask = _y_prep(xyzv_ref[0, 1:2], h, cfg, off_col, y0, gy)
         wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
         mask = valid * ymask * zmask
-        terms = mxu.split_bf16(scratch[pl.ds(p, 1)][0],
+        terms = mxu.data_terms(scratch[pl.ds(p, 1)][0],
                                mxu.passes_for(cfg))           # (nsh*C*N, K)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_win, q_block), 0)
         # The VPU weight blend is the 3D bottleneck (the MXU gather runs at
@@ -339,7 +339,7 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
-    vol = _pad_volume(cells_p, d, h, w, hp, wp, fp)
+    vol = _pad_volume(cells_p, d, h, w, hp, wp, fp, cfg)
     wins = _windows(vol, nbins, nby, gy, rows, nsh)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     bb = z0 * nby + y0 // gy
@@ -369,7 +369,7 @@ def pallas_fused3w_blend_padded(cells, points, cfg: SamplerConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7 * c, qp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, nsh * c * npad, rows * wp), jnp.float32),
+            pltpu.VMEM((2, nsh * c * npad, rows * wp), wins.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -449,7 +449,8 @@ def _fused3w_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref, wins0_ref,
                       + s[2] * wz[2][k][None] for k in range(nsh)]
                 pk = jnp.stack(ps, axis=0).reshape(nsh * c * n, q_block)
                 contrib = contrib + mxu.onehot_dot(
-                    pk, hit, (((1,), (1,)), ((), ())))        # (nsh*C*N, K)
+                    pk, hit, (((1,), (1,)), ((), ())),
+                passes=mxu.passes_for(cfg))        # (nsh*C*N, K)
         @pl.when(meta_ref[0, 0, _MB_SP] == 0)
         def _():
             cp.wait()

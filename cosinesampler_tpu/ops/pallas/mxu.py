@@ -52,6 +52,41 @@ def split_bf16(m, passes: int):
     return terms
 
 
+def data_cast(data, cfg=None):
+    """Kernel-side dtype of the cell data operand.
+
+    bfloat16 stays bfloat16 — the TPU-native analog of the reference's
+    half dispatch (AT_DISPATCH_FLOATING_TYPES_AND_HALF,
+    cosine_sampler_2d_kernel.cu:905): the data rides the DMA pipelines at
+    half the bytes and needs ONE MXU pass against the (exactly-bf16)
+    selectors instead of the 3-pass exact split.  ``cfg.precision ==
+    "bf16"`` opts wider inputs into the same treatment (f32 master
+    weights, bf16 compute — the idiomatic TPU mixed-precision shape).
+    Everything else (f32, f16 — bf16 would truncate f16's 10-bit
+    mantissa) computes in f32.
+    """
+    if data.dtype == jnp.bfloat16:
+        return data
+    if cfg is not None and cfg.precision == "bf16":
+        return data.astype(jnp.bfloat16)
+    return data.astype(jnp.float32)
+
+
+def data_terms(m, passes: int):
+    """MXU terms of the data operand ``m`` for a one-hot contraction.
+
+    bf16 data IS its own single exact term (see data_cast); passes == 1
+    on wider data means "quantize to bf16" (the precision='bf16' mode);
+    f32 otherwise splits into ``passes`` bf16 terms via split_bf16.
+    Accumulation is always f32 (preferred_element_type in
+    onehot_dot_terms)."""
+    if m.dtype == jnp.bfloat16:
+        return [m]
+    if passes == 1:
+        return [m.astype(jnp.bfloat16)]
+    return split_bf16(m, passes)
+
+
 def onehot_dot_terms(terms, a, dims):
     """dot_general(sum(terms), a, dims) for pre-split bf16 ``terms``.
 
@@ -71,7 +106,9 @@ def onehot_dot(m, a, dims, passes: int | None = None):
     """dot_general(m, a, dims) with f32 accuracy in ``passes`` MXU passes.
 
     ``a`` must be exactly bf16-representable (e.g. a 0/1 one-hot selector);
-    ``m`` is arbitrary f32.  Accumulation is f32 (preferred_element_type).
+    ``m`` is arbitrary f32 (or bf16: single pass).  Accumulation is f32
+    (preferred_element_type).  ``passes == 1`` quantizes f32 ``m`` to
+    bf16 (see data_terms).
     """
     if passes is None:
         passes = EXACT_PASSES
@@ -79,7 +116,7 @@ def onehot_dot(m, a, dims, passes: int | None = None):
         return jax.lax.dot_general(
             m, a, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-    return onehot_dot_terms(split_bf16(m, passes), a, dims)
+    return onehot_dot_terms(data_terms(m, passes), a, dims)
 
 
 def passes_for(cfg) -> int:
@@ -87,6 +124,9 @@ def passes_for(cfg) -> int:
 
     "exact" defers to the module default ``EXACT_PASSES`` (3 unless an
     expert overrides it before tracing); "fast" is the 2-pass split
-    (~4e-6 relative error); "highest" forces XLA's 6-pass algorithm.
+    (~4e-6 relative error); "bf16" is single-pass on bf16-quantized data
+    (~2e-3 relative error, half DMA when the host-side layouts inherit
+    the dtype); "highest" forces XLA's 6-pass algorithm.
     """
-    return {"exact": EXACT_PASSES, "fast": 2, "highest": 6}[cfg.precision]
+    return {"exact": EXACT_PASSES, "fast": 2, "bf16": 1,
+            "highest": 6}[cfg.precision]

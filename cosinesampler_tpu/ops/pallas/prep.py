@@ -20,10 +20,13 @@ anchors the patch and derives the per-cell corner weights, extended beyond
 Reflection is also supported, in a WIDENED frame: the fold can reverse the
 per-cell offset direction, so ``floor(fold(base+off)) - floor(fold(base))``
 lands in {-1, 0, 1} and the shared patch grows to 4 texels per axis
-(shifts -1..2).  The VMEM-resident generations (fused2d/fused3d) pay the
-extra panels only for reflection configs (static in cfg); the binned
-generations (fused3s/3w/3b) would additionally need 4-slab windows, so
-they stay zeros/border and reflection falls through to fused3d / v1 / XLA.
+(shifts -1..2).  Every generation gated on FUSED_PADDING_MODES_WIDE runs
+it natively: the VMEM-resident ones (fused2d/fused3d) pay one extra panel,
+and the binned/windowed ones (fused2w/3w/3b) widen their windows by one
+row/slab via ``front_pad`` (4-shift patches, fp = 3) and bin on the FOLDED
+coordinates (`bin_base`) — pinned by tests/test_fused_reflection.py.  Only
+fused3s (gated on the narrower FUSED_PADDING_MODES) stays zeros/border;
+reflection at its shapes falls through to fused3b / fused3d.
 """
 
 from __future__ import annotations

@@ -46,13 +46,13 @@ _BACKEND_IMPLS = {}
 def register_backend(name: str, dim: int, *, blend=None, splat=None,
                      fused_blend=None, fused_bwd=None,
                      fused_padded=None, fused_padded_bwd=None,
-                     fused_plan=None):
+                     fused_plan=None, fused_vol=None):
     impls = _BACKEND_IMPLS.setdefault((name, dim), {})
     for key, fn in (("blend", blend), ("splat", splat),
                     ("fused_blend", fused_blend), ("fused_bwd", fused_bwd),
                     ("fused_padded", fused_padded),
                     ("fused_padded_bwd", fused_padded_bwd),
-                    ("fused_plan", fused_plan)):
+                    ("fused_plan", fused_plan), ("fused_vol", fused_vol)):
         if fn is not None:
             impls[key] = fn
 
@@ -108,7 +108,9 @@ def differentiable_blend(cfg: SamplerConfig, orders: Tuple[int, ...]):
         input, grid = res
         in_spatial = tuple(input.shape[2:])
         splat_o = differentiable_splat(cfg, orders, in_spatial)
-        input_bar = splat_o(g, grid)
+        # cotangent dtype must match the primal (e.g. bf16 cells get a
+        # bf16 cotangent even though the splat accumulates wider)
+        input_bar = splat_o(g, grid).astype(input.dtype)
         lanes = []
         for ax in range(cfg.dim):
             blend_next = differentiable_blend(cfg, _bump(orders, ax))
@@ -145,7 +147,7 @@ def differentiable_splat(cfg: SamplerConfig, orders: Tuple[int, ...],
     def splat_bwd(res, cot):
         gout, grid = res
         blend_o = differentiable_blend(cfg, orders)
-        gout_bar = blend_o(cot, grid)
+        gout_bar = blend_o(cot, grid).astype(gout.dtype)
         lanes = []
         for ax in range(cfg.dim):
             blend_next = differentiable_blend(cfg, _bump(orders, ax))

@@ -3,7 +3,9 @@
 The reference ships no profiling (SURVEY.md section 5); its closest artifact
 is CUDA_LAUNCH_BLOCKING for debuggability.  Here:
 
-* ``time_fn``       — robust wall-clock timing of jitted callables.
+* ``time_fn``       — scan-based device timing (one jitted lax.scan of
+                      serialized repeats; Python-loop timing is invalid on
+                      tunneled TPUs, see the function docstring).
 * ``roofline``      — bytes-moved model for a sampler pass, so benchmarks
                       can report achieved HBM bandwidth percentage
                       (BASELINE.md target: HBM-bound on the big 3D sweep).
@@ -33,16 +35,57 @@ V5E_BF16_TFLOPS = 197.0
 V5E_BF16_TMACS = V5E_BF16_TFLOPS / 2.0
 
 
-def time_fn(fn, *args, iters: int = 10, warmup: int = 3) -> float:
-    """Median-free simple timing: seconds per call after warmup."""
+def time_fn(fn, *args, iters: int = 50, warmup: int = 1) -> float:
+    """Seconds per call of ``fn(*args)``: ONE jitted ``lax.scan`` of
+    ``iters`` serialized applications, not a Python loop of jitted calls.
+
+    A Python-loop timer is the wrong instrument on remote-TPU stacks:
+    every dispatch pays a fixed round trip (~60 ms observed through the
+    axon tunnel, scripts/time_floor.py) and the runtime can pipeline or
+    replay repeated identical calls, so wall-clock around a loop measures
+    dispatch, not device time.  Here the repeats run inside one device
+    program, serialized by threading a tick derived from each iteration's
+    first output leaf into the next iteration's first floating-point
+    input leaf (so XLA cannot hoist or CSE the body), and the result is
+    fetched by VALUE before the clock stops.
+
+    ``fn`` must be jit-traceable and at least one argument leaf must be a
+    floating-point array.  On shared/tunneled devices, take the min of a
+    few calls on freshly perturbed inputs (see bench.py `_bench`).
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    try:
+        idx = next(i for i, leaf in enumerate(leaves)
+                   if hasattr(leaf, "dtype")
+                   and jnp.issubdtype(leaf.dtype, jnp.inexact))
+    except StopIteration:
+        raise ValueError(
+            "time_fn needs at least one floating-point array argument to "
+            "serialize the timing scan through") from None
+
+    @jax.jit
+    def run(leaves):
+        def body(tick, _):
+            ls = list(leaves)
+            ls[idx] = ls[idx] * (1.0 + tick).astype(ls[idx].dtype)
+            out = fn(*jax.tree_util.tree_unflatten(treedef, ls))
+            first = jnp.asarray(jax.tree_util.tree_leaves(out)[0])
+            return 1e-30 * first.ravel()[0].astype(jnp.float32), ()
+
+        tick, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return tick
+
     out = None
-    for _ in range(warmup):
-        out = fn(*args)
+    for _ in range(max(warmup, 1)):
+        out = run(leaves)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = run(leaves)
+    # a device->host VALUE fetch: block_until_ready alone can resolve
+    # against a replayed future on tunneled devices
+    float(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -66,6 +66,14 @@ def test_small_3d_volume_small_q_routes_to_v2(monkeypatch):
     assert _route_blend(monkeypatch, (50, 4, 16, 16, 16), 120, CFG3) == "3d"
 
 
+def test_mid_3d_volume_small_q_routes_to_v3(monkeypatch):
+    # the fused3s regime: the volume exceeds nothing (32^3 x 2 x 2 fits the
+    # VMEM residency budget) but the query cloud is too small for v5's
+    # per-bin minimum (_MIN_Q_PER_BIN * nbins ~ 9k at 32^3), so the
+    # z-slab-binned VMEM-resident generation takes the route
+    assert _route_blend(monkeypatch, (2, 2, 32, 32, 32), 2048, CFG3) == "3s"
+
+
 def test_large_3d_volume_large_q_routes_to_v4(monkeypatch):
     # 128^3 sweep: HBM-resident volume, 1M queries
     assert _route_blend(monkeypatch, (16, 4, 128, 128, 128), 1_000_000,

@@ -23,3 +23,18 @@ def test_time_fn_runs():
     f = lambda x: x * 2.0
     sec = time_fn(f, jnp.ones((128,)), iters=2, warmup=1)
     assert sec > 0
+
+
+def test_time_fn_pytree_output_and_int_args():
+    # first arg integer (skipped), second is the serialization leaf;
+    # pytree output: the tick threads through the first leaf
+    f = lambda n, x: {"y": x * n, "z": x + 1.0}
+    sec = time_fn(f, jnp.int32(3), jnp.ones((8, 8)), iters=2, warmup=1)
+    assert sec > 0
+
+
+def test_time_fn_requires_float_arg():
+    import pytest
+
+    with pytest.raises(ValueError, match="floating-point"):
+        time_fn(lambda n: n + 1, jnp.int32(1), iters=2)
