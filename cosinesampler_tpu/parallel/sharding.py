@@ -91,6 +91,11 @@ def sharded_sample(input, grid, cfg: SamplerConfig, mesh: Mesh,
     # check_vma=False: the static replication checker cannot see through the
     # sampler's custom_vjp chain; the transpose still inserts the psum on the
     # replicated-cell cotangent (verified numerically in tests/test_sharding).
+    # Re-probed round 3: with check_vma=True the FORWARD passes, but
+    # jax.grad fails in shard_map's transpose ("out_specs require
+    # replication which can't be statically inferred" on the replicated
+    # parameter cotangents) — a custom_vjp/vma-inference limitation, not a
+    # missing psum; every sharded-vs-single gradient test pins the values.
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), qspec),
@@ -123,6 +128,101 @@ def sharded_fused_features(cells, points, cfg: SamplerConfig, mesh: Mesh,
         check_vma=False,
     )
     return fn(cells, points)
+
+
+def make_sharded_plans(points, cells_shape, cfg: SamplerConfig, mesh: Mesh,
+                       axis=POINTS_AXIS):
+    """Per-shard bin plans for the slot-resident kernels, or None.
+
+    The slot layout of the binned kernel generations depends on the LOCAL
+    point set, so a sharded training loop needs one plan per shard: this
+    builds each shard's plan inside shard_map (the same split the sharded
+    loss will see) and returns the plan pytree with a leading shard axis,
+    sharded over the mesh.  Equal shard sizes give equal (static) plan
+    shapes, so the stack is well-formed.  Plans built under shard_map are
+    traced, so ``ops.fused.trim_plan`` is a no-op here (the all-padding
+    tail blocks stay — the static worst case); None when the config does
+    not route to a slot-resident kernel (callers then pass plans=None).
+    """
+    from ..ops.fused import make_sample_plan
+
+    axis = _resolve_axis(mesh, axis)
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_shards = int(np.prod([mesh.shape[a] for a in names]))
+    probe = jax.eval_shape(
+        lambda p: make_sample_plan(p, cells_shape, cfg),
+        jax.ShapeDtypeStruct(
+            (points.shape[0] // n_shards, points.shape[1]), points.dtype))
+    if probe is None:
+        return None
+
+    def local(p):
+        plan = make_sample_plan(p, cells_shape, cfg)
+        return jax.tree_util.tree_map(lambda a: a[None], plan)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(axis, None),
+                       out_specs=P(axis))
+    return fn(points)
+
+
+def sharded_loss_fused_slots(params, pts, pinn_cfg, mesh: Mesh, plans=None,
+                             axis=POINTS_AXIS):
+    """The flagship training loss — slot-resident fused residual, optional
+    per-shard precomputed plans — under shard_map.
+
+    Each shard runs the full fused Pallas stack on its slice of the
+    collocation points, computes the occ-masked residual sum in slot
+    space, and one ``psum`` combines the loss; differentiating this (the
+    params are replicated) makes shard_map's transpose psum the cell/MLP
+    gradients.  ``plans`` comes from make_sharded_plans over the SAME
+    points and mesh axis (None re-bins per call).
+    """
+    from ..models.pinn import loss_fused_slots
+
+    axis = _resolve_axis(mesh, axis)
+    q_total = pts.shape[0]
+
+    def local(prm, p, pl):
+        if pl is not None:
+            pl = jax.tree_util.tree_map(lambda a: a[0], pl)
+        part = loss_fused_slots(prm, p, pinn_cfg, plan=pl) * p.shape[0]
+        return jax.lax.psum(part, axis) / q_total
+
+    # check_vma=False: see the sharded_sample note — the vma checker fails
+    # in the TRANSPOSE on the replicated-param cotangents (probed round 3);
+    # gradients are pinned numerically in tests/test_sharding.
+    if plans is None:
+        fn = jax.shard_map(lambda prm, p: local(prm, p, None), mesh=mesh,
+                           in_specs=(P(), P(axis, None)), out_specs=P(),
+                           check_vma=False)
+        return fn(params, pts)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(axis, None), P(axis)),
+                       out_specs=P(), check_vma=False)
+    return fn(params, pts, plans)
+
+
+def make_sharded_slots_step(pinn_cfg, optimizer, mesh: Mesh,
+                            axis=POINTS_AXIS):
+    """jit-ready (params, opt_state, pts, plans) -> (params, opt_state,
+    loss) with the slot-resident planned loss sharded over the mesh.
+
+    The sharded analog of ``pinn.make_train_step(..., planned=True)``:
+    points AND their per-shard plans (make_sharded_plans) ride the mesh's
+    points axis; params/optimizer state are replicated and their gradients
+    psum-reduced by shard_map's transpose.
+    """
+    axis = _resolve_axis(mesh, axis)
+
+    def step(params, opt_state, pts, plans):
+        lval, grads = jax.value_and_grad(
+            lambda p: sharded_loss_fused_slots(p, pts, pinn_cfg, mesh,
+                                               plans, axis))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, lval
+
+    return jax.jit(step)
 
 
 def shard_pinn_step(step_fn, mesh: Mesh, axis=POINTS_AXIS):

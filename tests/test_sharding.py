@@ -148,6 +148,59 @@ def test_hybrid_mesh_fused_features_parity():
     np.testing.assert_allclose(cot_shard, cot_single, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_slots_planned_pallas_interpret(mesh):
+    """The REAL flagship training configuration — slot-resident fused loss
+    with a precomputed per-shard bin plan — under shard_map with the
+    Pallas kernels in interpret mode (VERDICT r2 #6): loss and parameter
+    gradients match the single-device planned path, including the psum on
+    the replicated-parameter cotangents inserted by shard_map's transpose.
+    """
+    import cosinesampler_tpu.ops.pallas as pb
+    from cosinesampler_tpu.ops.fused import make_sample_plan
+    from cosinesampler_tpu.parallel.sharding import (
+        make_sharded_plans, make_sharded_slots_step,
+        sharded_loss_fused_slots)
+
+    # per-shard query count must clear the v5 windowed gate (fused2w
+    # V2W_MIN_Q = 2048) so the plan is a real bin plan, not the identity
+    cfg = pinn.PINNConfig(dim=2, n_cells=8, cell_dim=2, cell_size=16,
+                          hidden=8, backend="pallas")
+    params = pinn.init_params(jax.random.PRNGKey(4), cfg)
+    q = 2048 * 8
+    pts = jnp.asarray(np.random.RandomState(4).uniform(-0.9, 0.9, (q, 2)),
+                      jnp.float32)
+
+    old = pb.INTERPRET
+    pb.INTERPRET = True
+    try:
+        cells_shape = params["cells"].shape
+        plans = make_sharded_plans(pts, cells_shape, cfg.sampler, mesh)
+        assert plans is not None, "expected a v2w bin-plan route"
+        # stacked leading shard axis on every plan leaf
+        for leaf in jax.tree_util.tree_leaves(plans):
+            assert leaf.shape[0] == 8
+
+        plan1 = make_sample_plan(pts, cells_shape, cfg.sampler)
+        l1, g1 = jax.value_and_grad(
+            lambda p: pinn.loss_fused_slots(p, pts, cfg, plan=plan1))(params)
+        l2, g2 = jax.value_and_grad(
+            lambda p: sharded_loss_fused_slots(p, pts, cfg, mesh, plans))(
+            params)
+        np.testing.assert_allclose(l2, l1, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
+
+        # one optimizer step through the jitted sharded step fn
+        optimizer = optax.adam(1e-3)
+        step = make_sharded_slots_step(cfg, optimizer, mesh)
+        p2, _, lval = step(params, optimizer.init(params), pts, plans)
+        assert np.isfinite(float(lval))
+        assert not np.allclose(p2["cells"], params["cells"])
+    finally:
+        pb.INTERPRET = old
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     import pathlib
