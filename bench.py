@@ -177,6 +177,47 @@ def _kernel_roofline(params, pts, cfg, generation, reps=50):
     return sec, 100 * gbps / V5E_HBM_GBPS, mxu["mxu_pct"]
 
 
+def _bench_percell(reps=N_ITERS):
+    """Per-cell (distinct-grid) queries: the reference's general
+    grid_sample surface, where every cell n samples its OWN
+    (H_out, W_out) grid (cosine_sampler_2d_kernel.cu:297-308).
+
+    These route to the v1 per-order kernels (the fused generations need a
+    shared point cloud).  Measured per-point rates for fwd and for the
+    cell gradient of a quadratic loss (quadratic so the linear-in-cells
+    forward cannot be DCE'd out of the grad); full sweep incl. XLA and 3D
+    in scripts/bench_percell.py.
+    """
+    from cosinesampler_tpu.ops.sampler import sample
+
+    rng = np.random.RandomState(7)
+    n, c, s = 96, 4, 16
+    cells = jnp.asarray(rng.rand(n, c, s, s), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-0.95, 0.95, (n, 32, 32, 2)), jnp.float32)
+    q_total = n * 32 * 32
+    cfg = SamplerConfig(dim=2, kernel="cosine", multicell=True,
+                        backend="auto")
+    gradf = jax.grad(lambda cl, g: (sample(cl, g, cfg) ** 2).sum())
+    out = {}
+    for name, fn in (("fwd", lambda cl, g: sample(cl, g, cfg)),
+                     ("grad", gradf)):
+        @jax.jit
+        def many(cl, g, fn=fn):
+            def body(cl, _):
+                o = fn(cl, g)
+                return cl * 1.0000001, o.ravel()[0]
+            _, ticks = jax.lax.scan(body, cl, None, length=reps)
+            return ticks.sum()
+
+        jax.block_until_ready(many(cells, grid))
+        sec = min(_timed(many, cells * (0.999 - 1e-4 * i), grid)
+                  for i in range(3)) / reps
+        out[name] = q_total / sec / 1e6
+        log(f"per-cell 2D {name}: {sec * 1e3:.2f} ms = "
+            f"{out[name]:.1f} Mpts/s")
+    return out
+
+
 def _bench_3d(optimizer, precision="exact"):
     """3D Helmholtz step at the reference's 3D workload (test_3d.py:14-19)."""
     rng = np.random.RandomState(1)
@@ -566,6 +607,11 @@ def main():
         log(f"3d bf16-precision bench failed ({type(e).__name__})")
         ips_3d_bf16 = float("nan")
     try:
+        percell = _bench_percell()
+    except Exception as e:  # pragma: no cover
+        log(f"per-cell bench failed ({type(e).__name__})")
+        percell = {"fwd": float("nan"), "grad": float("nan")}
+    try:
         large = _bench_large_sweep()
     except Exception as e:  # pragma: no cover
         log(f"large sweep failed ({type(e).__name__})")
@@ -595,6 +641,10 @@ def main():
                 round(ips_2d_prec.get("fast", float("nan")), 3),
             "pinn2d_bf16_precision_iters_per_sec":
                 round(ips_2d_prec.get("bf16", float("nan")), 3),
+            "percell_2d_96x32x32_fwd_mpts_per_sec":
+                round(percell["fwd"], 1),
+            "percell_2d_96x32x32_grad_mpts_per_sec":
+                round(percell["grad"], 1),
             "large_sweep_16x4x128c_1M_fused_fwd_mpts_per_sec":
                 round(large["fwd_mpts"], 2),
             "large_sweep_16x4x128c_1M_fused_bwd_mpts_per_sec":
