@@ -190,6 +190,17 @@ def _fused_vol_for(cfg: PINNConfig, n_queries: int):
     return ops
 
 
+def vol_converters(cfg: PINNConfig, n_queries: int):
+    """(to_vol, from_vol) array converters for this trainer shape.
+
+    For callers that must convert MORE than the params' cells leaf — e.g.
+    the trainer converts the Adam moments alongside (models/train.py
+    _convert_layout), which is exact because the layout change is a pure
+    permutation+pad and elementwise optimizers commute with it."""
+    _, to_vol, from_vol = _fused_vol_for(cfg, n_queries)
+    return to_vol, from_vol
+
+
 def params_to_vol(params, cfg: PINNConfig, n_queries: int):
     """Convert the ``cells`` leaf to the kernel layout (one-time, before
     the vol-resident training loop; see ops.fused.make_fused_vol)."""

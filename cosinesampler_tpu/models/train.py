@@ -35,9 +35,34 @@ class TrainConfig:
     # plan (ops.fused.make_sample_plan) is built once, so the
     # step-per-dispatch loop below stops re-paying the per-step binning.
     fixed_points: bool = False
+    # vol_resident=True (requires fused + fixed_points and a shape that
+    # routes to the HBM-resident v4 generation) trains with the cells in
+    # the sampler's KERNEL layout: the per-step volume relayouts disappear
+    # and bf16 cells halve the brick DMA bytes (BENCHMARKS.md large-sweep
+    # section: 75.0 -> 74.4 ms f32, 56.7 ms with precision="bf16").
+    # Checkpoints are converted to/from the portable API layout.
+    vol_resident: bool = False
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     log_every: int = 50
+
+
+def _convert_layout(tree, match_shape, convert):
+    """Apply ``convert`` to every leaf shaped like the cell grid.
+
+    The optimizer state mirrors the params pytree (Adam moments have the
+    cells' exact shape), and the layout change is a pure permutation+pad,
+    so converting moments alongside params keeps training bit-equivalent
+    (elementwise optimizers commute with layout; pad slots carry zero
+    moments and zero gradients)."""
+    match_shape = tuple(match_shape)
+
+    def f(leaf):
+        if hasattr(leaf, "shape") and tuple(leaf.shape) == match_shape:
+            return convert(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(f, tree)
 
 
 def train(cfg: TrainConfig,
@@ -68,7 +93,26 @@ def train(cfg: TrainConfig,
                            *(mcfg.cell_size,) * mcfg.dim)
             plan = make_sample_plan(fixed_pts, cells_shape, mcfg.sampler)
 
-    if plan is not None:
+    to_vol = from_vol = None
+    cells_shape = vol_shape = None
+    if cfg.vol_resident:
+        if plan is None:
+            raise ValueError(
+                "vol_resident=True requires fused=True and "
+                "fixed_points=True (the kernel layout is only profitable "
+                "with a precomputed plan on the v4 route)")
+        to_vol, from_vol = pinn.vol_converters(mcfg, cfg.batch_points)
+        cells_shape = (mcfg.n_cells, mcfg.cell_dim,
+                       *(mcfg.cell_size,) * mcfg.dim)
+        vol_shape = jax.eval_shape(
+            to_vol, jax.ShapeDtypeStruct(cells_shape,
+                                         params["cells"].dtype)).shape
+        # one-time: params AND optimizer moments into the kernel layout
+        params = _convert_layout(params, cells_shape, to_vol)
+        opt_state = _convert_layout(opt_state, cells_shape, to_vol)
+        step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
+                                               vol_resident=True))
+    elif plan is not None:
         step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
                                                planned=True))
     else:
@@ -99,9 +143,16 @@ def train(cfg: TrainConfig,
             t_last = now
         if cfg.checkpoint_dir and (step + 1) % cfg.checkpoint_every == 0:
             from ..utils import checkpoint as ckpt
+            save_p, save_s = params, opt_state
+            if cfg.vol_resident:
+                # checkpoints stay in the portable API layout
+                save_p = _convert_layout(params, vol_shape, from_vol)
+                save_s = _convert_layout(opt_state, vol_shape, from_vol)
             ckpt.save_state(cfg.checkpoint_dir, step + 1,
-                            {"params": params, "opt": opt_state})
+                            {"params": save_p, "opt": save_s})
     gen.close()
+    if cfg.vol_resident:
+        params = _convert_layout(params, vol_shape, from_vol)
     return params, metrics
 
 
@@ -127,16 +178,27 @@ def main(argv=None):
     ap.add_argument("--fixed-points", action="store_true",
                     help="one collocation set for the whole run (the "
                          "reference's pattern); precomputes the bin plan")
+    ap.add_argument("--precision", default="exact",
+                    choices=("exact", "fast", "bf16", "highest"),
+                    help="MXU strategy (BENCHMARKS.md precision table): "
+                         "exact=f32-faithful, fast=~4e-6, bf16=~2e-3 + "
+                         "half DMA (fastest for training)")
+    ap.add_argument("--vol-resident", action="store_true",
+                    help="train with cells in the sampler's kernel layout "
+                         "(large 3D volumes on the v4 route; implies "
+                         "--fixed-points)")
     args = ap.parse_args(argv)
 
     pde = args.pde or ("allen_cahn" if args.dim == 2 else "helmholtz")
     cfg = TrainConfig(
         model=pinn.PINNConfig(dim=args.dim, n_cells=args.n_cells,
                               cell_dim=args.cell_dim,
-                              cell_size=args.cell_size, pde=pde),
+                              cell_size=args.cell_size, pde=pde,
+                              precision=args.precision),
         batch_points=args.batch_points, steps=args.steps, lr=args.lr,
         seed=args.seed, fused=not args.no_fused,
-        fixed_points=args.fixed_points,
+        fixed_points=args.fixed_points or args.vol_resident,
+        vol_resident=args.vol_resident,
         checkpoint_dir=args.checkpoint_dir,
     )
     train(cfg, on_metrics=lambda m: print(json.dumps(m), flush=True))

@@ -103,6 +103,20 @@ def key(generation: str, cells_shape, cfg, n_queries: int,
         f"prec={cfg.precision}", f"q={_qbucket(n_queries)}"))
 
 
+_missed: set = set()
+
+
+def missed_signatures():
+    """Signatures looked up WITHOUT a tuned entry this process (sorted).
+
+    Off-table shapes fall back to the adaptive ``pick_q_block`` heuristics
+    — correct, but typically a few % to ~15% off the tuned optimum
+    (BENCHMARKS.md autotune section).  Tune them on the target device with
+    ``python -m cosinesampler_tpu.utils.autotune`` or ``tune(...)``.
+    """
+    return sorted(_missed)
+
+
 def lookup(generation: str, cells_shape, cfg,
            n_queries: int) -> Optional[dict]:
     """Tuned ``{"q_block": int[, "gy": int, "rb": int]}`` for this
@@ -110,11 +124,27 @@ def lookup(generation: str, cells_shape, cfg,
     COSINESAMPLER_AUTOTUNE=0."""
     if os.environ.get("COSINESAMPLER_AUTOTUNE", "1") == "0":
         return None
-    entry = _load().get(key(generation, cells_shape, cfg, n_queries))
+    k = key(generation, cells_shape, cfg, n_queries)
+    entry = _load().get(k)
     if not entry:
+        # Surface the gap once per process, only on real TPU devices (the
+        # heuristics are measured-good there but not optimal; CPU/interpret
+        # runs would warn on every test).  Further misses accumulate in
+        # missed_signatures() for tooling.
+        if not _missed and k.lower().startswith("tpu"):
+            import warnings
+
+            warnings.warn(
+                f"cosinesampler_tpu: no autotune entry for {k}; using the "
+                "pick_q_block heuristics (usually within ~15% of tuned). "
+                "Tune this shape once with `python -m "
+                "cosinesampler_tpu.utils.autotune` on the target device; "
+                "see utils.autotune.missed_signatures() for all misses.",
+                stacklevel=3)
+        _missed.add(k)
         return None
-    return {k: int(v) for k, v in entry.items()
-            if k in ("q_block", "gy", "rb", "sb")} or None
+    return {k_: int(v) for k_, v in entry.items()
+            if k_ in ("q_block", "gy", "rb", "sb")} or None
 
 
 def record(generation: str, cells_shape, cfg, n_queries: int, params: dict,

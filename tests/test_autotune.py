@@ -68,6 +68,19 @@ def test_record_lookup_roundtrip():
                            4096) is None
 
 
+def test_lookup_miss_is_tracked_not_warned_on_cpu(recwarn):
+    """Off-table signatures accumulate in missed_signatures() for tooling;
+    the one-time user warning fires only on real TPU device kinds (CPU
+    test runs stay silent)."""
+    cfg = _cfg3()
+    shape = (8, 4, 16, 16, 32)        # not in any table
+    assert autotune.lookup("v3w", shape, cfg, 8192) is None
+    k = autotune.key("v3w", shape, cfg, 8192)
+    assert k in autotune.missed_signatures()
+    assert not [w for w in recwarn.list
+                if "autotune" in str(w.message)]
+
+
 def test_lookup_disabled_by_env(monkeypatch):
     cfg = _cfg3()
     shape = (8, 4, 16, 16, 16)

@@ -65,6 +65,54 @@ def test_train_fixed_points_planned(monkeypatch):
     assert metrics[-1]["loss"] < metrics[0]["loss"] * 1.5
 
 
+def test_train_vol_resident(monkeypatch, tmp_path):
+    """vol_resident=True: the trainer converts params AND Adam moments to
+    the kernel layout, trains there, checkpoints in the PORTABLE layout,
+    and returns API-layout params — final params match the planned run
+    bit-for-fp-bit (same optimizer trajectory, layout-permuted)."""
+    import cosinesampler_tpu.ops.pallas as pb
+
+    monkeypatch.setattr(pb, "INTERPRET", True)
+
+    def cfgv(vol, tmp=None):
+        return TrainConfig(
+            model=pinn.PINNConfig(dim=3, n_cells=5, cell_dim=3, cell_size=6,
+                                  hidden=8, pde="helmholtz",
+                                  backend="pallas"),
+            batch_points=120, steps=4, lr=3e-3, seed=0, fused=True,
+            fixed_points=True, vol_resident=vol, log_every=2,
+            checkpoint_dir=tmp, checkpoint_every=2,
+        )
+
+    p_planned, _ = train(cfgv(False))
+    p_vol, metrics = train(cfgv(True, tmp=str(tmp_path / "ck")))
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    for k in p_planned:
+        np.testing.assert_allclose(p_vol[k], p_planned[k], rtol=1e-5,
+                                   atol=1e-7)
+    # checkpoints were written in the portable API layout
+    import jax
+    import optax
+    from cosinesampler_tpu.utils import checkpoint as ckpt
+    optimizer = optax.adam(3e-3)
+    tmpl_p = pinn.init_params(jax.random.PRNGKey(0), cfgv(False).model)
+    step_no, state = ckpt.restore_state(
+        str(tmp_path / "ck"), {"params": tmpl_p, "opt": optimizer.init(tmpl_p)})
+    assert step_no == 4
+    assert state["params"]["cells"].shape == tmpl_p["cells"].shape
+
+
+def test_train_vol_resident_requires_plan():
+    cfg = TrainConfig(
+        model=pinn.PINNConfig(dim=3, n_cells=5, cell_dim=3, cell_size=6,
+                              hidden=8, pde="helmholtz", backend="pallas"),
+        batch_points=120, steps=2, fused=True, fixed_points=False,
+        vol_resident=True,
+    )
+    with pytest.raises(ValueError, match="vol_resident"):
+        train(cfg)
+
+
 def test_train_fixed_points_xla_fallback():
     """fixed_points=True on the XLA backend: no plan routes (fused_plan is
     a pallas-only registration) and the trainer falls back to the regular
