@@ -14,12 +14,30 @@ Prints ONE JSON line:
                 reference's custom CUDA chain was built to beat
                 (README.md:3); BASELINE.md targets >= 10x.
 
+Guaranteed-output design (round-3 postmortem: the driver killed the run at
+its timeout with NOTHING on stdout, BENCH_r03.json rc=124/parsed=null):
+
+* results accumulate in a module dict; whatever has been measured when the
+  process ends — normally, or via the watchdog — is what prints;
+* a tiny-op tunnel probe runs first under a short timer, so a wedged TPU
+  tunnel yields an honest-failure JSON in ~3 min, not a driver kill;
+* the 2D flagship (exact, then bf16) is measured FIRST; every later stage
+  is budget-gated on remaining wall clock and individually best-effort;
+* the watchdog fires WELL under the driver's timeout and emits the
+  best-so-far dict (exit 0 if the flagship landed, 2 otherwise);
+* the program count is pruned to the flagship surface — per-cell, isolated
+  fwd/bwd passes, fast-precision modes and the 3D roofline live in
+  scripts/ (bench_percell.py, bench_large.py, bench_fast.py,
+  bench_kernels.py) with their numbers recorded in BENCHMARKS.md.
+
 Progress lines go to stderr so the driver still gets exactly one stdout line.
 """
 
 import dataclasses
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -33,15 +51,77 @@ from cosinesampler_tpu.ops import generic
 from cosinesampler_tpu.ops.config import SamplerConfig
 
 N_POINTS = 100_000
-N_WARMUP = 2
 # 50+ iterations per timed scan: the axon tunnel charges a FIXED ~60 ms
 # per jitted call (dispatch round trip, measured scripts/time_floor.py),
 # so short scans inflate every per-step number by fixed/reps ms.
 N_ITERS = 50
 
+# The driver's budget is ~15 min; fire the watchdog well under it so the
+# best-so-far line always lands on stdout before a SIGKILL could.
+WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "780"))
+# Optional stages start only while this much of the watchdog is unspent;
+# a stage that then overruns is still bounded by the watchdog itself.
+BUDGET_S = max(60, WATCHDOG_S - 180)
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_S", "240"))
+
+# last TPU-measured naive-XLA baseline (BENCHMARKS.md), used (and flagged
+# in extras) when the budget runs out before re-measuring it this run
+RECORDED_NAIVE_PPS = 74_500.0
+
+_START = time.monotonic()
+
+RESULTS = {
+    "metric": "2D multicell PINN train iters/sec "
+              "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order; "
+              "vs_baseline = points/sec speedup over naive nested-grad "
+              "XLA, which OOMs above 25k pts)",
+    "value": 0.0,
+    "unit": "iters/sec",
+    "vs_baseline": 0.0,
+    "extra": {},
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
 
 def log(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench] {msg} (t={time.monotonic() - _START:.0f}s)",
+          file=sys.stderr, flush=True)
+
+
+def elapsed():
+    return time.monotonic() - _START
+
+
+def emit():
+    """Print the one-line JSON contract exactly once (main path or timer)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(RESULTS), flush=True)
+
+
+def _arm_timer(seconds, reason):
+    """After ``seconds``: emit best-so-far and exit (0 iff flagship landed).
+
+    The remote-TPU tunnel can wedge in ways that block compiles forever
+    (observed after device faults); without this the driver would time the
+    whole process out and record NOTHING (BENCH_r03.json).
+    """
+    def fire():
+        RESULTS["extra"]["aborted"] = (
+            f"{reason} after {seconds}s; results above are best-so-far "
+            "(see BENCHMARKS.md for full session-measured tables)")
+        log(f"WATCHDOG: {reason}; emitting best-so-far")
+        emit()
+        os._exit(0 if RESULTS["value"] > 0 else 2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _naive_field(params, pts, cfg: pinn.PINNConfig):
@@ -74,6 +154,17 @@ def _make_naive_loss(cfg):
         return jnp.mean(f**2)
 
     return loss
+
+
+def _timed(run, *args):
+    t0 = time.perf_counter()
+    out = run(*args)
+    jax.block_until_ready(out)
+    # Force a device->host VALUE fetch: through the axon tunnel,
+    # block_until_ready alone can resolve against a replayed future and
+    # report microsecond-scale times for multi-ms programs.
+    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return time.perf_counter() - t0
 
 
 def _bench(step, params, opt_state, pts, name, n_iters=N_ITERS):
@@ -110,17 +201,6 @@ def _bench(step, params, opt_state, pts, name, n_iters=N_ITERS):
     ips = n_iters / dt
     log(f"{name}: {ips:.3f} iters/sec ({1e3 / ips:.2f} ms/step)")
     return ips
-
-
-def _timed(run, *args):
-    t0 = time.perf_counter()
-    out = run(*args)
-    jax.block_until_ready(out)
-    # Force a device->host VALUE fetch: through the axon tunnel,
-    # block_until_ready alone can resolve against a replayed future and
-    # report microsecond-scale times for multi-ms programs.
-    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    return time.perf_counter() - t0
 
 
 def _kernel_roofline(params, pts, cfg, generation, reps=50):
@@ -177,47 +257,6 @@ def _kernel_roofline(params, pts, cfg, generation, reps=50):
     return sec, 100 * gbps / V5E_HBM_GBPS, mxu["mxu_pct"]
 
 
-def _bench_percell(reps=N_ITERS):
-    """Per-cell (distinct-grid) queries: the reference's general
-    grid_sample surface, where every cell n samples its OWN
-    (H_out, W_out) grid (cosine_sampler_2d_kernel.cu:297-308).
-
-    These route to the v1 per-order kernels (the fused generations need a
-    shared point cloud).  Measured per-point rates for fwd and for the
-    cell gradient of a quadratic loss (quadratic so the linear-in-cells
-    forward cannot be DCE'd out of the grad); full sweep incl. XLA and 3D
-    in scripts/bench_percell.py.
-    """
-    from cosinesampler_tpu.ops.sampler import sample
-
-    rng = np.random.RandomState(7)
-    n, c, s = 96, 4, 16
-    cells = jnp.asarray(rng.rand(n, c, s, s), jnp.float32)
-    grid = jnp.asarray(rng.uniform(-0.95, 0.95, (n, 32, 32, 2)), jnp.float32)
-    q_total = n * 32 * 32
-    cfg = SamplerConfig(dim=2, kernel="cosine", multicell=True,
-                        backend="auto")
-    gradf = jax.grad(lambda cl, g: (sample(cl, g, cfg) ** 2).sum())
-    out = {}
-    for name, fn in (("fwd", lambda cl, g: sample(cl, g, cfg)),
-                     ("grad", gradf)):
-        @jax.jit
-        def many(cl, g, fn=fn):
-            def body(cl, _):
-                o = fn(cl, g)
-                return cl * 1.0000001, o.ravel()[0]
-            _, ticks = jax.lax.scan(body, cl, None, length=reps)
-            return ticks.sum()
-
-        jax.block_until_ready(many(cells, grid))
-        sec = min(_timed(many, cells * (0.999 - 1e-4 * i), grid)
-                  for i in range(3)) / reps
-        out[name] = q_total / sec / 1e6
-        log(f"per-cell 2D {name}: {sec * 1e3:.2f} ms = "
-            f"{out[name]:.1f} Mpts/s")
-    return out
-
-
 def _bench_3d(optimizer, precision="exact"):
     """3D Helmholtz step at the reference's 3D workload (test_3d.py:14-19)."""
     rng = np.random.RandomState(1)
@@ -233,275 +272,134 @@ def _bench_3d(optimizer, precision="exact"):
                   f"fused3d@100k[{precision}]")
 
 
-def _bench_large_sweep():
-    """v4 bricked kernels at BASELINE config 5 (16 x 4 x 128^3, 1M pts).
+def _stage(name, est_seconds, fn):
+    """Run one best-effort stage iff the wall-clock budget allows it.
 
-    Measures all three passes: fused fwd (value/jac/diag-Hessian), fused
-    bwd (cell gradient), and the full Helmholtz PINN train step.  The XLA
-    fallback measures 0.6 Mpts/s fwd and its gradient faults the runtime
-    (BENCHMARKS.md).
+    Every stage updates RESULTS itself as soon as its number exists, so the
+    watchdog path always emits whatever has been measured.
     """
-    from cosinesampler_tpu.ops.pallas import fused3b
+    if elapsed() + est_seconds > BUDGET_S:
+        log(f"SKIP {name}: {est_seconds}s estimated, "
+            f"{BUDGET_S - elapsed():.0f}s of budget left")
+        RESULTS["extra"].setdefault("skipped_for_budget", []).append(name)
+        return
+    try:
+        fn()
+    except Exception as e:  # pragma: no cover - infra dependent
+        log(f"{name} failed ({type(e).__name__}: {e})")
+        RESULTS["extra"].setdefault("failed_stages", []).append(name)
 
-    rng = np.random.RandomState(7)
-    cfg = SamplerConfig(dim=3, kernel="cosine", multicell=True)
+
+def _probe_tunnel():
+    """A trivial op under a short timer: fail fast if the tunnel is wedged.
+
+    The timer is armed BEFORE the first backend-touching call: even
+    ``jax.default_backend()`` blocks on remote backend init through the
+    tunnel (observed ~1-2 min cold), so nothing jax may run outside the
+    protected region.
+    """
+    log(f"probing TPU tunnel (timeout {PROBE_TIMEOUT_S}s)")
+    t = _arm_timer(PROBE_TIMEOUT_S, "TPU tunnel unresponsive to a tiny op")
+    x = float(jnp.ones((8, 128)).sum())
+    t.cancel()
+    log(f"tunnel ok (platform={jax.default_backend()}, tiny op = {x:.0f})")
+
+
+def _large_sweep_flagship(rng):
+    """BASELINE config 5 (16 x 4 x 128^3, 1M pts): the flagship 128^3
+    train-step configurations only — vol-resident exact, vol-resident bf16
+    and (API-layout) planned.  Isolated fwd/bwd passes and the plain/slot
+    variants live in scripts/bench_large.py / scripts/bench_fast.py.
+    """
+    from cosinesampler_tpu.ops.fused import make_sample_plan
+
     cells = jnp.asarray(rng.rand(16, 4, 128, 128, 128), jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (1_000_000, 3)), jnp.float32)
     reps = 10
-    out = {}
+    pcfg = pinn.PINNConfig(dim=3, n_cells=16, cell_dim=4, cell_size=128,
+                           pde="helmholtz", backend="auto")
+    params = {"cells": cells, **{k: v for k, v in pinn.init_params(
+        jax.random.PRNGKey(3), pcfg).items() if k != "cells"}}
+    optimizer = optax.adam(1e-3)
 
-    # isolated passes use the slot-resident (padded) kernel API — the one
-    # the train step below actually runs; the query-ordered wrappers add a
-    # 1M-point output gather / cotangent scatter on top (BENCHMARKS.md)
-    @jax.jit
-    def many_fwd(p, c):
-        def body(p, _):
-            o, _, _ = fused3b.pallas_fused3b_blend_padded(c, p, cfg)
-            return p + 1e-30 * o[0, 0, 0], o[0, 0, 0]
-        carry, ticks = jax.lax.scan(body, p, None, length=reps)
-        return ticks.sum() + carry.sum()
-
-    jax.block_until_ready(many_fwd(pts, cells))
-    sec = min(_timed(many_fwd, pts * (0.999 - 1e-4 * i), cells)
-              for i in range(3)) / reps
-    out["fwd_mpts"] = 1.0 / sec
-    log(f"large sweep v4 fwd (slot): {sec * 1e3:.0f} ms = "
-        f"{out['fwd_mpts']:.1f} Mpts/s")
-
-    nbins = fused3b._geom(128, 128, fused3b.V3B_GY)[2]
-    qp = (-(-1_000_000 // fused3b.V3B_Q_BLOCK) + nbins) * fused3b.V3B_Q_BLOCK
-    g = jnp.asarray(rng.rand(7, 4, qp), jnp.float32)
-
-    @jax.jit
-    def many_bwd(gg, p):
-        def body(gg, _):
-            acc = fused3b.pallas_fused3b_bwd_padded(gg, p, (128, 128, 128),
-                                                    cfg, 16)
-            return gg + 1e-30 * acc[0, 0, 0, 0, 0], acc[0, 0, 0, 0, 0]
-        carry, ticks = jax.lax.scan(body, gg, None, length=reps)
-        return ticks.sum() + carry.sum()
-
-    try:
-        jax.block_until_ready(many_bwd(g, pts))
-        sec = min(_timed(many_bwd, g * (0.999 - 1e-4 * i), pts)
-                  for i in range(3)) / reps
-        out["bwd_mpts"] = 1.0 / sec
-        log(f"large sweep v4 bwd (slot): {sec * 1e3:.0f} ms = "
-            f"{out['bwd_mpts']:.1f} Mpts/s")
-    except Exception as e:  # pragma: no cover - infra dependent
-        log(f"large sweep bwd failed ({type(e).__name__})")
-        out["bwd_mpts"] = float("nan")
-
-    try:
-        import optax
-        pcfg = pinn.PINNConfig(dim=3, n_cells=16, cell_dim=4, cell_size=128,
-                               pde="helmholtz", backend="auto")
-        params = {"cells": cells, **{k: v for k, v in pinn.init_params(
-            jax.random.PRNGKey(3), pcfg).items() if k != "cells"}}
-        optimizer = optax.adam(1e-3)
-        opt_state = optimizer.init(params)
-        step = jax.jit(pinn.make_train_step(pcfg, optimizer,
-                                            slot_resident=True))
-
+    def scan_step(step):
         @jax.jit
-        def many_step(params, opt_state, p):
+        def many(params, opt_state, p, plan):
             def body(carry, _):
                 pp, ss = carry
-                pp, ss, lval = step(pp, ss, p)
+                pp, ss, lval = step(pp, ss, p, plan)
                 return (pp, ss), lval
             (_, _), losses = jax.lax.scan(body, (params, opt_state), None,
                                           length=reps)
             return losses
+        return many
 
-        jax.block_until_ready(many_step(params, opt_state, pts))
-        sec = min(_timed(many_step, params, opt_state,
-                         pts * (0.999 - 1e-4 * i)) for i in range(3)) / reps
-        out["train_ms"] = sec * 1e3
-        out["train_mpts"] = 1.0 / sec
-        log(f"large sweep train step: {sec * 1e3:.0f} ms = "
-            f"{out['train_mpts']:.1f} Mpts/s")
-    except Exception as e:  # pragma: no cover
-        log(f"large sweep train failed ({type(e).__name__})")
-        out["train_ms"] = float("nan")
-        out["train_mpts"] = float("nan")
+    def time_planned(many, params_x, opt_state_x, plan_of):
+        # fresh perturbed points per trial (tunnel-replay defense); the
+        # plan for them is built OUTSIDE the timed region — that is the
+        # whole point of planning over a fixed point set
+        def one_trial(i):
+            p = pts * (0.999 - 1e-4 * i)
+            plan = plan_of(p)
+            jax.block_until_ready(plan)
+            return _timed(many, params_x, opt_state_x, p, plan)
 
-    try:
-        # planned train step: the reference workloads sample collocation
-        # points ONCE (test_3d.py:16-19), so the 1M-key binning/sort
-        # (~12 ms standalone at this scale) can be hoisted out of the
-        # loop (ops.fused.make_sample_plan)
-        from cosinesampler_tpu.ops.fused import make_sample_plan
-        step_pl = jax.jit(pinn.make_train_step(pcfg, optimizer,
-                                               planned=True))
-        # eager, NOT jitted: make_sample_plan trims the all-padding tail
-        # blocks only when the plan is concrete (ops.fused.trim_plan)
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(params_x, opt_state_x, pts, plan_of(pts)))
+        log(f"  compile+first-run {time.perf_counter() - t0:.1f}s")
+        return min(one_trial(i) for i in range(3)) / reps
+
+    def vol_variant(precision, key_ms):
+        # vol-resident planned step: the cells live in the v4 KERNEL layout
+        # across steps (ops.fused.make_fused_vol), deleting the per-step
+        # ~0.6 GB volume pad+transpose (fwd) and gradient crop+transpose
+        # (bwd).  Under precision="bf16" the KERNEL-layout volume itself is
+        # bf16 (params_to_vol quantizes via mxu.data_cast): half the HBM
+        # for master+optimizer state and half the bytes per brick DMA —
+        # the TPU-native analog of running the reference end-to-end in
+        # half (cosine_sampler_2d_kernel.cu:905).
+        cfg_p = dataclasses.replace(pcfg, precision=precision)
+        step = jax.jit(pinn.make_train_step(cfg_p, optimizer,
+                                            vol_resident=True))
+        params_v = pinn.params_to_vol(params, cfg_p, pts.shape[0])
+        opt_state_v = optimizer.init(params_v)
+        # the autotune signature includes the precision, so each route may
+        # tune a different slot geometry — build ITS plan
+        plan_of = lambda p: make_sample_plan(p, (16, 4, 128, 128, 128),
+                                             cfg_p.sampler)
+        sec = time_planned(scan_step(step), params_v, opt_state_v, plan_of)
+        RESULTS["extra"][key_ms] = round(sec * 1e3, 1)
+        log(f"128^3 train step (vol-resident {precision}): "
+            f"{sec * 1e3:.0f} ms = {1.0 / sec:.1f} Mpts/s")
+
+    _stage("128^3 vol-resident exact", 240,
+           lambda: vol_variant("exact",
+                               "large_sweep_16x4x128c_1M_train_step_vol_ms"))
+    _stage("128^3 vol-resident bf16", 240,
+           lambda: vol_variant(
+               "bf16", "large_sweep_16x4x128c_1M_train_step_vol_bf16_ms"))
+
+    def planned_variant():
+        # planned (API-layout) step: the portable configuration users who
+        # keep cells in the public (N, C, D, H, W) layout get
+        step = jax.jit(pinn.make_train_step(pcfg, optimizer, planned=True))
+        opt_state = optimizer.init(params)
         plan_of = lambda p: make_sample_plan(p, (16, 4, 128, 128, 128),
                                              pcfg.sampler)
+        sec = time_planned(scan_step(step), params, opt_state, plan_of)
+        RESULTS["extra"]["large_sweep_16x4x128c_1M_train_step_planned_ms"] = \
+            round(sec * 1e3, 1)
+        log(f"128^3 train step (planned): {sec * 1e3:.0f} ms")
 
-        @jax.jit
-        def many_step_pl(params, opt_state, p, plan):
-            def body(carry, _):
-                pp, ss = carry
-                pp, ss, lval = step_pl(pp, ss, p, plan)
-                return (pp, ss), lval
-            (_, _), losses = jax.lax.scan(body, (params, opt_state), None,
-                                          length=reps)
-            return losses
-
-        def one_trial(i):
-            # fresh perturbed points per trial (tunnel-replay defense); the
-            # plan for them is built OUTSIDE the timed region — that is the
-            # whole point of planning over a fixed point set
-            p = pts * (0.999 - 1e-4 * i)
-            plan = plan_of(p)
-            jax.block_until_ready(plan)
-            return _timed(many_step_pl, params, opt_state, p, plan)
-
-        jax.block_until_ready(
-            many_step_pl(params, opt_state, pts, plan_of(pts)))
-        sec = min(one_trial(i) for i in range(3)) / reps
-        out["train_planned_ms"] = sec * 1e3
-        out["train_planned_mpts"] = 1.0 / sec
-        log(f"large sweep train step (planned): {sec * 1e3:.0f} ms = "
-            f"{out['train_planned_mpts']:.1f} Mpts/s")
-    except Exception as e:  # pragma: no cover
-        log(f"large sweep planned train failed ({type(e).__name__})")
-        out["train_planned_ms"] = float("nan")
-        out["train_planned_mpts"] = float("nan")
-
-    try:
-        # bf16 cells through the same slot fwd pass: half the brick DMA
-        # bytes and ONE MXU pass instead of 3 (mxu.data_cast / data_terms
-        # — the TPU-native analog of the reference's half dispatch,
-        # cosine_sampler_2d_kernel.cu:905)
-        cells16 = cells.astype(jnp.bfloat16)
-        jax.block_until_ready(many_fwd(pts, cells16))
-        sec = min(_timed(many_fwd, pts * (0.999 - 1e-4 * i), cells16)
-                  for i in range(3)) / reps
-        out["fwd_bf16_mpts"] = 1.0 / sec
-        log(f"large sweep v4 fwd (slot, bf16): {sec * 1e3:.0f} ms = "
-            f"{out['fwd_bf16_mpts']:.1f} Mpts/s")
-    except Exception as e:  # pragma: no cover
-        log(f"large sweep bf16 fwd failed ({type(e).__name__})")
-        out["fwd_bf16_mpts"] = float("nan")
-
-    try:
-        # vol-resident planned step: the cells live in the v4 KERNEL
-        # layout across steps (ops.fused.make_fused_vol), deleting the
-        # per-step ~0.6 GB volume pad+transpose (fwd) and gradient
-        # crop+transpose (bwd) that the kernels never see (VERDICT r2 #1)
-        step_vol = jax.jit(pinn.make_train_step(pcfg, optimizer,
-                                                vol_resident=True))
-        params_v = pinn.params_to_vol(params, pcfg, pts.shape[0])
-        opt_state_v = optimizer.init(params_v)
-
-        @jax.jit
-        def many_step_vol(params_v, opt_state_v, p, plan):
-            def body(carry, _):
-                pp, ss = carry
-                pp, ss, lval = step_vol(pp, ss, p, plan)
-                return (pp, ss), lval
-            (_, _), losses = jax.lax.scan(body, (params_v, opt_state_v),
-                                          None, length=reps)
-            return losses
-
-        def one_trial_vol(i):
-            p = pts * (0.999 - 1e-4 * i)
-            plan = plan_of(p)
-            jax.block_until_ready(plan)
-            return _timed(many_step_vol, params_v, opt_state_v, p, plan)
-
-        jax.block_until_ready(
-            many_step_vol(params_v, opt_state_v, pts, plan_of(pts)))
-        sec = min(one_trial_vol(i) for i in range(3)) / reps
-        out["train_vol_ms"] = sec * 1e3
-        out["train_vol_mpts"] = 1.0 / sec
-        log(f"large sweep train step (vol-resident): {sec * 1e3:.0f} ms = "
-            f"{out['train_vol_mpts']:.1f} Mpts/s")
-    except Exception as e:  # pragma: no cover
-        log(f"large sweep vol-resident train failed ({type(e).__name__})")
-        out["train_vol_ms"] = float("nan")
-        out["train_vol_mpts"] = float("nan")
-
-    try:
-        # bf16 vol-resident train: under precision="bf16" the KERNEL-layout
-        # volume itself is bf16 (params_to_vol quantizes via mxu.data_cast),
-        # so the master+optimizer state live at half the HBM and every
-        # brick DMA moves half the bytes — full-bf16 training, the closest
-        # analog of running the reference end-to-end in half
-        pcfg16 = dataclasses.replace(pcfg, precision="bf16")
-        step_v16 = jax.jit(pinn.make_train_step(pcfg16, optimizer,
-                                                vol_resident=True))
-        params_v16 = pinn.params_to_vol(params, pcfg16, pts.shape[0])
-        opt_state_v16 = optimizer.init(params_v16)
-        # the autotune signature includes the precision, so the bf16 route
-        # may tune a different slot geometry — build ITS plan, not exact's
-        plan16_of = lambda p: make_sample_plan(p, (16, 4, 128, 128, 128),
-                                               pcfg16.sampler)
-
-        @jax.jit
-        def many_step_v16(params_v, opt_state_v, p, plan):
-            def body(carry, _):
-                pp, ss = carry
-                pp, ss, lval = step_v16(pp, ss, p, plan)
-                return (pp, ss), lval
-            (_, _), losses = jax.lax.scan(body, (params_v, opt_state_v),
-                                          None, length=reps)
-            return losses
-
-        def one_trial_v16(i):
-            p = pts * (0.999 - 1e-4 * i)
-            plan = plan16_of(p)
-            jax.block_until_ready(plan)
-            return _timed(many_step_v16, params_v16, opt_state_v16, p, plan)
-
-        jax.block_until_ready(
-            many_step_v16(params_v16, opt_state_v16, pts, plan16_of(pts)))
-        sec = min(one_trial_v16(i) for i in range(3)) / reps
-        out["train_vol_bf16_ms"] = sec * 1e3
-        out["train_vol_bf16_mpts"] = 1.0 / sec
-        log(f"large sweep train step (vol-resident bf16): {sec * 1e3:.0f} "
-            f"ms = {out['train_vol_bf16_mpts']:.1f} Mpts/s")
-    except Exception as e:  # pragma: no cover
-        log(f"large sweep bf16 vol-resident train failed "
-            f"({type(e).__name__})")
-        out["train_vol_bf16_ms"] = float("nan")
-        out["train_vol_bf16_mpts"] = float("nan")
-    return out
-
-
-def _arm_watchdog(seconds: int = 1800):
-    """Emit an honest failure line and exit if the TPU tunnel wedges.
-
-    The remote-TPU terminal can die in a way that blocks jax.devices()/
-    compiles forever (observed after repeated device faults); without this
-    the driver would hang instead of recording a failed benchmark.
-    """
-    import os
-    import threading
-
-    def fire():
-        print(json.dumps({
-            "metric": "2D multicell PINN train iters/sec "
-                      "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order)",
-            "value": 0.0,
-            "unit": "iters/sec",
-            "vs_baseline": 0.0,
-            "extra": {"error": "TPU tunnel unresponsive; benchmark aborted "
-                               f"after {seconds}s (see BENCHMARKS.md for "
-                               "the last recorded numbers)"},
-        }), flush=True)
-        os._exit(2)
-
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+    _stage("128^3 planned", 240, planned_variant)
 
 
 def main():
     compile_cache.enable()
-    watchdog = _arm_watchdog()
+    watchdog = _arm_timer(WATCHDOG_S, "bench watchdog")
+    log(f"watchdog {WATCHDOG_S}s, stage budget {BUDGET_S}s")
+    _probe_tunnel()
+
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(N_POINTS, 2)),
                       dtype=jnp.float32)
@@ -511,156 +409,92 @@ def main():
     params = pinn.init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
 
+    # ---- flagship FIRST: 2D exact train step (the headline number) ----
     # slot-resident: the residual stays in the sampler's bin-slot layout,
     # skipping the per-step output gather + cotangent scatter
     fused_step = jax.jit(pinn.make_train_step(cfg, optimizer,
                                               slot_resident=True))
     ours_ips = _bench(fused_step, params, opt_state, pts, "fused@100k")
-    ours_pps = ours_ips * N_POINTS
+    RESULTS["value"] = round(ours_ips, 3)
+    # until/unless the naive baseline is re-measured below, the ratio uses
+    # the last TPU-measured baseline and says so
+    RESULTS["vs_baseline"] = round(ours_ips * N_POINTS / RECORDED_NAIVE_PPS,
+                                   3)
+    RESULTS["extra"]["naive_baseline"] = "recorded"
 
-    # The naive nested-grad graph cannot even fit the reference's 100k-point
-    # workload on one v5e (XLA OOM: 19.2G of 15.75G HBM) — run it at the
-    # largest feasible size and compare points/sec.
-    naive_q = 25_000
-    naive_loss = _make_naive_loss(cfg)
+    def two_d_precision(prec):
+        # reduced-precision MXU modes ("fast": 2-pass bf16 split ~4e-6 rel
+        # err; "bf16": single pass on bf16-quantized cells, ~2e-3 — see
+        # ops/pallas/mxu.py and BENCHMARKS.md); f32 master params either way
+        cfg_p = dataclasses.replace(cfg, precision=prec)
+        step_p = jax.jit(pinn.make_train_step(cfg_p, optimizer,
+                                              slot_resident=True))
+        ips = _bench(step_p, params, opt_state, pts, f"fused@100k[{prec}]")
+        RESULTS["extra"][f"pinn2d_{prec}_precision_iters_per_sec"] = \
+            round(ips, 3)
 
-    @jax.jit
-    def naive_step(params, opt_state, pts):
-        lval, grads = jax.value_and_grad(naive_loss)(params, pts)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, g: p + g, params, updates)
-        return params, opt_state, lval
+    _stage("2D bf16", 180, lambda: two_d_precision("bf16"))
 
-    # Every auxiliary stage is best-effort: the shared TPU tunnel's compile
-    # service occasionally wedges, and the headline metric must still print.
-    try:
+    def naive_baseline():
+        # The naive nested-grad graph cannot even fit the reference's
+        # 100k-point workload on one v5e (XLA OOM: 19.2G of 15.75G HBM) —
+        # run it at the largest feasible size and compare points/sec.
+        naive_q = 25_000
+        naive_loss = _make_naive_loss(cfg)
+
+        @jax.jit
+        def naive_step(params, opt_state, pts):
+            lval, grads = jax.value_and_grad(naive_loss)(params, pts)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, g: p + g, params,
+                                            updates)
+            return params, opt_state, lval
+
         naive_ips = _bench(naive_step, params, opt_state, pts[:naive_q],
                            f"naive@{naive_q}", n_iters=10)
         naive_pps = naive_ips * naive_q
-        log(f"fused {ours_pps:.0f} pts/s vs naive {naive_pps:.0f} pts/s")
-    except Exception as e:  # pragma: no cover - infra dependent
-        log(f"naive baseline failed ({type(e).__name__}); using last "
-            "recorded baseline 74500 pts/s (BENCHMARKS.md)")
-        naive_ips = float("nan")
-        naive_pps = 74500.0
+        RESULTS["vs_baseline"] = round(
+            RESULTS["value"] * N_POINTS / naive_pps, 3)
+        RESULTS["extra"]["naive_baseline"] = "measured"
+        log(f"fused {RESULTS['value'] * N_POINTS:.0f} pts/s vs naive "
+            f"{naive_pps:.0f} pts/s")
 
-    # same-size comparison (the headline mixes sizes because naive OOMs
-    # at 100k; record the like-for-like 25k ratio too)
-    try:
-        ips_25k = _bench(fused_step, params, opt_state, pts[:naive_q],
-                         f"fused@{naive_q}")
-        speedup_25k = ips_25k / naive_ips
-        log(f"same-size 25k speedup: {speedup_25k:.1f}x")
-    except Exception as e:  # pragma: no cover
-        log(f"25k fused failed ({type(e).__name__})")
-        speedup_25k = float("nan")
+    _stage("naive baseline", 180, naive_baseline)
 
-    try:
-        kernel_sec, hbm_pct, mxu_pct = _kernel_roofline(params, pts, cfg,
-                                                        "v5_2d")
-    except Exception as e:  # pragma: no cover
-        log(f"kernel roofline failed ({type(e).__name__})")
-        kernel_sec, hbm_pct, mxu_pct = (float("nan"),) * 3
-    try:
-        rng3 = np.random.RandomState(5)
-        cfg3 = pinn.PINNConfig(dim=3, n_cells=50, cell_dim=4, cell_size=16,
-                               kernel="cosine", pde="helmholtz",
-                               backend="auto")
-        params3 = pinn.init_params(jax.random.PRNGKey(5), cfg3)
-        pts3 = jnp.asarray(rng3.uniform(-0.95, 0.95, (N_POINTS, 3)),
-                           jnp.float32)
-        k3_sec, _, mxu3_pct = _kernel_roofline(params3, pts3, cfg3, "v5",
-                                               reps=50)
-    except Exception as e:  # pragma: no cover
-        log(f"3d kernel roofline failed ({type(e).__name__})")
-        k3_sec, mxu3_pct = float("nan"), float("nan")
-    try:
-        ips_3d = _bench_3d(optimizer)
-    except Exception as e:  # pragma: no cover
-        log(f"3d bench failed ({type(e).__name__})")
-        ips_3d = float("nan")
-    try:
-        # precision="fast": 2-pass bf16 split (~4e-6 rel err) — the MXU
-        # throughput knob, measured so the tradeoff is a recorded number
-        ips_3d_fast = _bench_3d(optimizer, precision="fast")
-    except Exception as e:  # pragma: no cover
-        log(f"3d fast-precision bench failed ({type(e).__name__})")
-        ips_3d_fast = float("nan")
-    ips_2d_prec = {}
-    for prec in ("fast", "bf16"):
-        # 2D flagship at the two reduced-precision MXU modes ("fast":
-        # 2-pass split ~4e-6 rel err; "bf16": single pass on bf16-quantized
-        # cells, ~2e-3 — see ops/pallas/mxu.py and BENCHMARKS.md's
-        # precision table); f32 master params either way
-        try:
-            cfg_p = dataclasses.replace(cfg, precision=prec)
-            step_p = jax.jit(pinn.make_train_step(cfg_p, optimizer,
-                                                  slot_resident=True))
-            ips_2d_prec[prec] = _bench(step_p, params, opt_state, pts,
-                                       f"fused@100k[{prec}]")
-        except Exception as e:  # pragma: no cover
-            log(f"2d {prec}-precision bench failed ({type(e).__name__})")
-            ips_2d_prec[prec] = float("nan")
-    try:
-        ips_3d_bf16 = _bench_3d(optimizer, precision="bf16")
-    except Exception as e:  # pragma: no cover
-        log(f"3d bf16-precision bench failed ({type(e).__name__})")
-        ips_3d_bf16 = float("nan")
-    try:
-        percell = _bench_percell()
-    except Exception as e:  # pragma: no cover
-        log(f"per-cell bench failed ({type(e).__name__})")
-        percell = {"fwd": float("nan"), "grad": float("nan")}
-    try:
-        large = _bench_large_sweep()
-    except Exception as e:  # pragma: no cover
-        log(f"large sweep failed ({type(e).__name__})")
-        large = {"fwd_mpts": float("nan"), "bwd_mpts": float("nan"),
-                 "train_ms": float("nan"), "train_mpts": float("nan")}
+    def three_d(prec):
+        ips = _bench_3d(optimizer, precision=prec)
+        k = ("pinn3d_helmholtz_50x4x16c_100k_iters_per_sec" if prec == "exact"
+             else f"pinn3d_{prec}_precision_iters_per_sec")
+        RESULTS["extra"][k] = round(ips, 3)
+
+    _stage("3D exact", 180, lambda: three_d("exact"))
+    _stage("3D bf16", 180, lambda: three_d("bf16"))
+
+    def roofline_2d():
+        sec, hbm, mxu = _kernel_roofline(params, pts, cfg, "v5_2d")
+        RESULTS["extra"]["fused_fwd_kernel_us"] = round(sec * 1e6, 1)
+        RESULTS["extra"]["fused_fwd_hbm_pct_of_v5e_peak"] = round(hbm, 1)
+        RESULTS["extra"]["fused_fwd_mxu_pct_of_v5e_bf16_peak"] = \
+            round(mxu, 1)
+
+    _stage("2D kernel roofline", 120, roofline_2d)
+
+    if elapsed() + 240 <= BUDGET_S:
+        _large_sweep_flagship(np.random.RandomState(7))
+    else:
+        log("SKIP 128^3 large sweep: budget")
+        RESULTS["extra"].setdefault("skipped_for_budget", []).append(
+            "128^3 large sweep")
+
+    # autotune coverage: which signatures ran WITHOUT a tuned entry this
+    # process (VERDICT r3 #8) — off-table shapes ride pick_q_block
+    # heuristics, typically a few % to ~15% off tuned
+    from cosinesampler_tpu.utils import autotune
+    RESULTS["extra"]["autotune_missed_signatures"] = \
+        autotune.missed_signatures()
 
     watchdog.cancel()
-    print(json.dumps({
-        "metric": "2D multicell PINN train iters/sec "
-                  "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order; "
-                  "vs_baseline = points/sec speedup over naive nested-grad "
-                  "XLA, which OOMs above 25k pts)",
-        "value": round(ours_ips, 3),
-        "unit": "iters/sec",
-        "vs_baseline": round(ours_pps / naive_pps, 3),
-        "extra": {
-            "same_size_25k_speedup_x": round(speedup_25k, 1),
-            "fused_fwd_kernel_us": round(kernel_sec * 1e6, 1),
-            "fused_fwd_hbm_pct_of_v5e_peak": round(hbm_pct, 1),
-            "fused_fwd_mxu_pct_of_v5e_bf16_peak": round(mxu_pct, 1),
-            "fused3d_v5_fwd_kernel_ms": round(k3_sec * 1e3, 2),
-            "fused3d_v5_fwd_mxu_pct": round(mxu3_pct, 1),
-            "pinn3d_helmholtz_50x4x16c_100k_iters_per_sec": round(ips_3d, 3),
-            "pinn3d_fast_precision_iters_per_sec": round(ips_3d_fast, 3),
-            "pinn3d_bf16_precision_iters_per_sec": round(ips_3d_bf16, 3),
-            "pinn2d_fast_precision_iters_per_sec":
-                round(ips_2d_prec.get("fast", float("nan")), 3),
-            "pinn2d_bf16_precision_iters_per_sec":
-                round(ips_2d_prec.get("bf16", float("nan")), 3),
-            "percell_2d_96x32x32_fwd_mpts_per_sec":
-                round(percell["fwd"], 1),
-            "percell_2d_96x32x32_grad_mpts_per_sec":
-                round(percell["grad"], 1),
-            "large_sweep_16x4x128c_1M_fused_fwd_mpts_per_sec":
-                round(large["fwd_mpts"], 2),
-            "large_sweep_16x4x128c_1M_fused_bwd_mpts_per_sec":
-                round(large["bwd_mpts"], 2),
-            "large_sweep_16x4x128c_1M_fused_fwd_bf16_mpts_per_sec":
-                round(large.get("fwd_bf16_mpts", float("nan")), 2),
-            "large_sweep_16x4x128c_1M_train_step_vol_bf16_ms":
-                round(large.get("train_vol_bf16_ms", float("nan")), 1),
-            "large_sweep_16x4x128c_1M_train_step_ms":
-                round(large["train_ms"], 1),
-            "large_sweep_16x4x128c_1M_train_step_planned_ms":
-                round(large.get("train_planned_ms", float("nan")), 1),
-            "large_sweep_16x4x128c_1M_train_step_vol_ms":
-                round(large.get("train_vol_ms", float("nan")), 1),
-        },
-    }))
+    emit()
 
 
 if __name__ == "__main__":

@@ -188,8 +188,13 @@ def _candidates(generation: str):
     per-grid-step cost of the windowed kernels is already overlapped,
     unlike the v4 bricked 16k-block grids where it was first measured)."""
     if generation == "v3b":
+        # gy=8 / rb=16 join the grid for the reduced-precision modes
+        # (VERDICT r3 #3): bf16 halves the brick bytes and the split-copy
+        # VMEM, so fatter bricks (fewer, larger blocks — the 128^3 fwd is
+        # per-block fixed-cost-bound) become feasible; supports() prunes
+        # infeasible combos per precision.
         return [{"q_block": qb, "gy": gy, "rb": rb}
-                for qb in (128, 256) for gy in (2, 4) for rb in (4, 8)]
+                for qb in (128, 256) for gy in (2, 4, 8) for rb in (4, 8, 16)]
     return [{"q_block": qb} for qb in (128, 256, 512, 1024)]
 
 

@@ -250,11 +250,15 @@ def timed_bwd(qb, cells, pts, plan, cfg, reps=REPS):
 
 
 def main():
-    cfg = SamplerConfig(dim=2)
+    # ABLATE_PREC=bf16 re-runs the stage table under the reduced-precision
+    # MXU mode (VERDICT r3 #7: attribute the bf16 step's remaining floor);
+    # f32 master cells either way — the kernels quantize internally.
+    prec = os.environ.get("ABLATE_PREC", "exact")
+    cfg = SamplerConfig(dim=2, precision=prec)
     rng = np.random.RandomState(0)
     cells = jnp.asarray(rng.rand(N, C, S, S), jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (Q, 2)), jnp.float32)
-    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"device: {jax.devices()[0]}  precision={prec}", flush=True)
 
     for qb in QBS:
         plan = jax.jit(functools.partial(make_plan, in_spatial=(S, S),
