@@ -13,7 +13,7 @@ import math
 
 from .. import generic
 from ..sampler import register_backend
-from . import fused2d, fused2w, fused3b, fused3d, fused3s, fused3w
+from . import fused2d, fused2w, fused3b, fused3d, fused3s, fused3w, slab
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 from .prep import VMEM_BUDGET as _VMEM_BUDGET
@@ -72,16 +72,28 @@ def _f64(*arrays) -> bool:
 
 
 def _blend(input, grid, cfg, orders):
-    if _f64(input, grid) or not _fits_vmem(input.shape, DEFAULT_Q_BLOCK,
-                                           whole_stack=False):
+    if _f64(input, grid):
+        return generic.blend(input, grid, cfg, orders)
+    if not _fits_vmem(input.shape, DEFAULT_Q_BLOCK, whole_stack=False):
+        # over-VMEM volumes: the slab-decomposed v1 route (slab.py) —
+        # a real TPU kernel at any volume size; the XLA gather fallback
+        # is last resort only (its 3D leg faults the TPU runtime under
+        # lax.scan, BENCHMARKS.md "Per-cell" caveat)
+        if slab.supports(cfg, input.shape, _VMEM_BUDGET):
+            return slab.pallas_blend_slab(input, grid, cfg, orders,
+                                          interpret=INTERPRET)
         return generic.blend(input, grid, cfg, orders)
     return pallas_blend(input, grid, cfg, orders, interpret=INTERPRET)
 
 
 def _splat(gout, grid, in_spatial, cfg, orders):
     shape = (gout.shape[0], gout.shape[1], *in_spatial)
-    if _f64(gout, grid) or not _fits_vmem(shape, DEFAULT_Q_BLOCK,
-                                          whole_stack=False):
+    if _f64(gout, grid):
+        return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
+    if not _fits_vmem(shape, DEFAULT_Q_BLOCK, whole_stack=False):
+        if slab.supports(cfg, shape, _VMEM_BUDGET):
+            return slab.pallas_splat_slab(gout, grid, tuple(in_spatial),
+                                          cfg, orders, interpret=INTERPRET)
         return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
     return pallas_splat(gout, grid, tuple(in_spatial), cfg, orders,
                         interpret=INTERPRET)

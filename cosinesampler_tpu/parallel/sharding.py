@@ -225,6 +225,70 @@ def make_sharded_slots_step(pinn_cfg, optimizer, mesh: Mesh,
     return jax.jit(step)
 
 
+def sharded_loss_fused_slots_vol(params, pts, pinn_cfg, mesh: Mesh,
+                                 plans=None, axis=POINTS_AXIS):
+    """The vol-resident flagship loss (cells in the v4 KERNEL layout)
+    under shard_map: the 128^3-class configuration a pod sweep would
+    actually run (BASELINE config 5), VERDICT r3 #5.
+
+    The kernel-layout volume is replicated (it is the model state);
+    points and their per-shard plans ride the mesh's points axis.  The
+    volume layout is chosen per LOCAL query count — convert params with
+    ``pinn.params_to_vol(params, cfg, pts.shape[0] // n_shards)`` so the
+    resident layout and the in-loss lookup agree (the autotune signature
+    buckets on the query count the kernels see, which under shard_map is
+    the shard's).
+    """
+    from ..models.pinn import loss_fused_slots_vol
+
+    axis = _resolve_axis(mesh, axis)
+    q_total = pts.shape[0]
+
+    def local(prm, p, pl):
+        if pl is not None:
+            pl = jax.tree_util.tree_map(lambda a: a[0], pl)
+        part = loss_fused_slots_vol(prm, p, pinn_cfg, plan=pl) * p.shape[0]
+        return jax.lax.psum(part, axis) / q_total
+
+    # check_vma=False: see the sharded_sample note (vma inference fails in
+    # the transpose on replicated-param cotangents; values pinned in
+    # tests/test_sharding.py).
+    if plans is None:
+        fn = jax.shard_map(lambda prm, p: local(prm, p, None), mesh=mesh,
+                           in_specs=(P(), P(axis, None)), out_specs=P(),
+                           check_vma=False)
+        return fn(params, pts)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(axis, None), P(axis)),
+                       out_specs=P(), check_vma=False)
+    return fn(params, pts, plans)
+
+
+def make_sharded_vol_step(pinn_cfg, optimizer, mesh: Mesh, axis=POINTS_AXIS):
+    """jit-ready (params, opt_state, pts, plans) -> (params, opt_state,
+    loss): the sharded analog of ``pinn.make_train_step(...,
+    vol_resident=True)``.
+
+    params carry the KERNEL-layout cells (``pinn.params_to_vol`` with the
+    per-shard query count — see sharded_loss_fused_slots_vol) and stay
+    replicated; the optimizer runs on the padded volume (its update must
+    vanish at zero grad + zero param, as adam/sgd/adamw do, so pad slots
+    stay zero); plans come from ``make_sharded_plans`` over the same
+    points and mesh axis.
+    """
+    axis = _resolve_axis(mesh, axis)
+
+    def step(params, opt_state, pts, plans):
+        lval, grads = jax.value_and_grad(
+            lambda p: sharded_loss_fused_slots_vol(p, pts, pinn_cfg, mesh,
+                                                   plans, axis))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, lval
+
+    return jax.jit(step)
+
+
 def shard_pinn_step(step_fn, mesh: Mesh, axis=POINTS_AXIS):
     """jit a (params, opt_state, pts) -> (params, opt_state, loss) step with
     params/opt_state replicated and pts sharded over the mesh.

@@ -201,6 +201,67 @@ def test_sharded_slots_planned_pallas_interpret(mesh):
         pb.INTERPRET = old
 
 
+def test_sharded_vol_resident_v3b_pallas_interpret(mesh):
+    """The 128^3-CLASS flagship configuration — vol-resident (kernel-
+    layout) cells + per-shard plans on the v4 bricked route — under
+    shard_map with the Pallas kernels in interpret mode (VERDICT r3 #5):
+    loss and parameter gradients match the single-device vol-resident
+    path, and one optimizer step runs through the jitted sharded step.
+    """
+    import cosinesampler_tpu.ops.pallas as pb
+    from cosinesampler_tpu.ops import fused
+    from cosinesampler_tpu.parallel.sharding import (
+        make_sharded_plans, make_sharded_vol_step,
+        sharded_loss_fused_slots_vol)
+
+    # cell_size=6 3D routes to the v4 bricked generation (same shape family
+    # as tests/test_fused_vol.py); 8 shards x 120 local points
+    cfg = pinn.PINNConfig(dim=3, n_cells=5, cell_dim=3, cell_size=6,
+                          hidden=8, pde="helmholtz", backend="pallas")
+    params = pinn.init_params(jax.random.PRNGKey(7), cfg)
+    q = 120 * 8
+    pts = jnp.asarray(np.random.RandomState(7).uniform(-0.9, 0.9, (q, 3)),
+                      jnp.float32)
+    assert fused.make_fused_vol(cfg.sampler, cfg.n_cells, cfg.cell_dim,
+                                (6, 6, 6), q // 8) is not None
+
+    old = pb.INTERPRET
+    pb.INTERPRET = True
+    try:
+        cells_shape = params["cells"].shape
+        plans = make_sharded_plans(pts, cells_shape, cfg.sampler, mesh)
+        assert plans is not None, "expected a v3b bin-plan route"
+        # the resident layout must be chosen for the LOCAL query count
+        params_v = pinn.params_to_vol(params, cfg, q // 8)
+
+        plan1 = fused.make_sample_plan(pts, cells_shape, cfg.sampler)
+        params_v1 = pinn.params_to_vol(params, cfg, q)
+        l1, g1 = jax.value_and_grad(
+            lambda p: pinn.loss_fused_slots_vol(p, pts, cfg, plan=plan1))(
+            params_v1)
+        l2, g2 = jax.value_and_grad(
+            lambda p: sharded_loss_fused_slots_vol(p, pts, cfg, mesh,
+                                                   plans))(params_v)
+        np.testing.assert_allclose(l2, l1, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
+
+        optimizer = optax.adam(1e-3)
+        step = make_sharded_vol_step(cfg, optimizer, mesh)
+        p2, _, lval = step(params_v, optimizer.init(params_v), pts, plans)
+        assert np.isfinite(float(lval))
+        assert not np.allclose(p2["cells"], params_v["cells"])
+        # the optimizer step keeps the pad-slot-zero invariant the vol
+        # forward relies on
+        from cosinesampler_tpu.ops.pallas import fused3b
+        np.testing.assert_array_equal(
+            fused3b.vol_pad_mask_mul(p2["cells"], cfg.n_cells, cfg.cell_dim,
+                                     (6, 6, 6), cfg.sampler), p2["cells"])
+    finally:
+        pb.INTERPRET = old
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     import pathlib
