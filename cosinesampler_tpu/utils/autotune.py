@@ -187,6 +187,17 @@ def _candidates(generation: str):
     workload (scripts/tune_sb.py: 4.86/4.91/4.87 ms at sb=1/4/8 — the
     per-grid-step cost of the windowed kernels is already overlapped,
     unlike the v4 bricked 16k-block grids where it was first measured)."""
+    # COSINESAMPLER_TUNE_QB restricts the q_block axis of a sweep (comma
+    # list) — remote compiles cost minutes each, so pruning a knob that a
+    # previous sweep already settled (e.g. q_block=256 lost every exact
+    # v3b measurement) cuts sweep wall-clock ~2x.
+    qb_env = os.environ.get("COSINESAMPLER_TUNE_QB")
+    qb_filter = (tuple(int(x) for x in qb_env.split(",")) if qb_env
+                 else None)
+
+    def qbs(default):
+        return qb_filter or default
+
     if generation == "v3b":
         # gy=8 / rb=16 join the grid for the reduced-precision modes
         # (VERDICT r3 #3): bf16 halves the brick bytes and the split-copy
@@ -194,8 +205,9 @@ def _candidates(generation: str):
         # per-block fixed-cost-bound) become feasible; supports() prunes
         # infeasible combos per precision.
         return [{"q_block": qb, "gy": gy, "rb": rb}
-                for qb in (128, 256) for gy in (2, 4, 8) for rb in (4, 8, 16)]
-    return [{"q_block": qb} for qb in (128, 256, 512, 1024)]
+                for qb in qbs((128, 256))
+                for gy in (2, 4, 8) for rb in (4, 8, 16)]
+    return [{"q_block": qb} for qb in qbs((128, 256, 512, 1024))]
 
 
 def _entry_fns(generation: str):

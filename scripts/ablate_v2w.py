@@ -51,7 +51,9 @@ if INTERPRET:
 REPS = int(os.environ.get("ABLATE_REPS", "100"))
 Q = int(os.environ.get("ABLATE_Q", "100000"))
 N, C, S = 96, 4, 16          # the reference 2D workload
-QBS = (128, 256, 512)
+# ABLATE_QBS prunes the sweep (remote compiles cost minutes per program)
+QBS = tuple(int(x) for x in
+            os.environ.get("ABLATE_QBS", "128,256,512").split(","))
 
 
 def _ablate_kernel(xyv_ref, meta_ref, off_ref, pan_ref, win_ref,
