@@ -42,6 +42,13 @@ class TrainConfig:
     # section: 75.0 -> 74.4 ms f32, 56.7 ms with precision="bf16").
     # Checkpoints are converted to/from the portable API layout.
     vol_resident: bool = False
+    # shard=True data-parallelizes the step over every local device
+    # (parallel/sharding.py): points (and their per-shard bin plans) ride
+    # the mesh's points axis, params/optimizer state stay replicated, and
+    # the cell/MLP gradients are psum-reduced.  Composes with fused /
+    # fixed_points / vol_resident; batch_points must divide the device
+    # count.  On one device it is the identity configuration.
+    shard: bool = False
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     log_every: int = 50
@@ -83,16 +90,37 @@ def train(cfg: TrainConfig,
         except FileNotFoundError:
             pass
 
+    mesh = None
+    if cfg.shard:
+        from ..parallel import sharding as shd
+        mesh = shd.make_mesh()
+        n_dev = int(mesh.devices.size)
+        if cfg.batch_points % n_dev:
+            raise ValueError(
+                f"shard=True needs batch_points ({cfg.batch_points}) "
+                f"divisible by the device count ({n_dev})")
+
     gen = PointGenerator(cfg.batch_points, mcfg.dim, seed=cfg.seed)
     fixed_pts = plan = None
     if cfg.fixed_points:
         fixed_pts = jnp.asarray(gen.batch(0))
         if cfg.fused:
-            from ..ops.fused import make_sample_plan
             cells_shape = (mcfg.n_cells, mcfg.cell_dim,
                            *(mcfg.cell_size,) * mcfg.dim)
-            plan = make_sample_plan(fixed_pts, cells_shape, mcfg.sampler)
+            if mesh is not None:
+                # one plan per shard, built under the same split the
+                # sharded loss will see (parallel/sharding.py)
+                from ..parallel.sharding import make_sharded_plans
+                plan = make_sharded_plans(fixed_pts, cells_shape,
+                                          mcfg.sampler, mesh)
+            else:
+                from ..ops.fused import make_sample_plan
+                plan = make_sample_plan(fixed_pts, cells_shape, mcfg.sampler)
 
+    # the kernels see the PER-SHARD query count under shard_map, so every
+    # layout/plan decision keyed on it must use the local count
+    local_points = cfg.batch_points // (int(mesh.devices.size) if mesh
+                                        else 1)
     to_vol = from_vol = None
     cells_shape = vol_shape = None
     if cfg.vol_resident:
@@ -101,7 +129,7 @@ def train(cfg: TrainConfig,
                 "vol_resident=True requires fused=True and "
                 "fixed_points=True (the kernel layout is only profitable "
                 "with a precomputed plan on the v4 route)")
-        to_vol, from_vol = pinn.vol_converters(mcfg, cfg.batch_points)
+        to_vol, from_vol = pinn.vol_converters(mcfg, local_points)
         cells_shape = (mcfg.n_cells, mcfg.cell_dim,
                        *(mcfg.cell_size,) * mcfg.dim)
         vol_shape = jax.eval_shape(
@@ -110,14 +138,26 @@ def train(cfg: TrainConfig,
         # one-time: params AND optimizer moments into the kernel layout
         params = _convert_layout(params, cells_shape, to_vol)
         opt_state = _convert_layout(opt_state, cells_shape, to_vol)
-        step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
-                                               vol_resident=True))
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_vol_step
+            step_fn = make_sharded_vol_step(mcfg, optimizer, mesh)
+        else:
+            step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
+                                                   vol_resident=True))
     elif plan is not None:
-        step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
-                                               planned=True))
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_slots_step
+            step_fn = make_sharded_slots_step(mcfg, optimizer, mesh)
+        else:
+            step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
+                                                   planned=True))
     else:
-        step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
-                                               fused=cfg.fused))
+        step_fn = pinn.make_train_step(mcfg, optimizer, fused=cfg.fused)
+        if mesh is not None:
+            from ..parallel.sharding import shard_pinn_step
+            step_fn = shard_pinn_step(step_fn, mesh)
+        else:
+            step_fn = jax.jit(step_fn)
 
     metrics: List[Dict] = []
     t_last = time.perf_counter()
@@ -187,6 +227,10 @@ def main(argv=None):
                     help="train with cells in the sampler's kernel layout "
                          "(large 3D volumes on the v4 route; implies "
                          "--fixed-points)")
+    ap.add_argument("--shard", action="store_true",
+                    help="data-parallelize over all local devices: points "
+                         "(and per-shard bin plans) sharded over the mesh, "
+                         "params replicated, cell grads psum-reduced")
     args = ap.parse_args(argv)
 
     pde = args.pde or ("allen_cahn" if args.dim == 2 else "helmholtz")
@@ -198,7 +242,7 @@ def main(argv=None):
         batch_points=args.batch_points, steps=args.steps, lr=args.lr,
         seed=args.seed, fused=not args.no_fused,
         fixed_points=args.fixed_points or args.vol_resident,
-        vol_resident=args.vol_resident,
+        vol_resident=args.vol_resident, shard=args.shard,
         checkpoint_dir=args.checkpoint_dir,
     )
     train(cfg, on_metrics=lambda m: print(json.dumps(m), flush=True))

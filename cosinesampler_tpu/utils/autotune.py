@@ -340,6 +340,11 @@ def _main(argv=None) -> None:  # pragma: no cover - TPU-side CLI
     parser.add_argument("--reps", type=int, default=30)
     parser.add_argument("--padding", default="zeros")
     parser.add_argument("--precision", default="exact")
+    parser.add_argument("--q", type=int, default=None,
+                        help="override the preset's query count (entries are "
+                             "bucketed by next-power-of-two, so tune one "
+                             "representative q per bucket, e.g. 8192 for "
+                             "small inference batches)")
     args = parser.parse_args(argv)
 
     from . import compile_cache
@@ -351,6 +356,7 @@ def _main(argv=None) -> None:  # pragma: no cover - TPU-side CLI
     rng = np.random.RandomState(0)
 
     def run(gen, shape, q, dim):
+        q = args.q or q
         cfg = SamplerConfig(dim=dim, padding_mode=args.padding,
                             precision=args.precision, backend="pallas")
         cells = jnp.asarray(rng.rand(*shape), jnp.float32)

@@ -121,3 +121,57 @@ def test_train_fixed_points_xla_fallback():
     cfg = TrainConfig(**{**cfg.__dict__, "fixed_points": True, "steps": 6})
     _, metrics = train(cfg)
     assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_train_shard_matches_unsharded():
+    """shard=True (8-device CPU mesh, XLA backend) reproduces the
+    single-device run: replicated params + psum'd grads are exact data
+    parallelism, so the trained params match."""
+    single, _ = train(_cfg(steps=6))
+    cfg = TrainConfig(**{**_cfg(steps=6).__dict__, "shard": True})
+    sharded, metrics = train(cfg)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    for a, b in zip(_leaves(single), _leaves(sharded)):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+
+def test_train_shard_rejects_indivisible_batch():
+    cfg = TrainConfig(**{**_cfg().__dict__, "shard": True,
+                         "batch_points": 130})
+    with pytest.raises(ValueError, match="divisible"):
+        train(cfg)
+
+
+def test_train_shard_planned_pallas_interpret(monkeypatch):
+    """shard + fixed_points: per-shard plans (make_sharded_plans) feed the
+    sharded slot-resident step through the Pallas kernels in interpret
+    mode; the trainer's flagship multi-device configuration."""
+    import cosinesampler_tpu.ops.pallas as pb
+
+    monkeypatch.setattr(pb, "INTERPRET", True)
+    cfg = TrainConfig(
+        model=pinn.PINNConfig(dim=2, n_cells=4, cell_dim=2, cell_size=8,
+                              hidden=8, backend="pallas"),
+        batch_points=2048 * 8, steps=2, lr=3e-3, seed=0, fused=True,
+        fixed_points=True, shard=True, log_every=1,
+    )
+    _, metrics = train(cfg)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_train_shard_vol_resident_pallas_interpret(monkeypatch):
+    """shard + vol_resident: the kernel-layout cells (converted with the
+    LOCAL query count) train under make_sharded_vol_step."""
+    import cosinesampler_tpu.ops.pallas as pb
+
+    monkeypatch.setattr(pb, "INTERPRET", True)
+    cfg = TrainConfig(
+        model=pinn.PINNConfig(dim=3, n_cells=5, cell_dim=3, cell_size=6,
+                              hidden=8, pde="helmholtz", backend="pallas"),
+        batch_points=120 * 8, steps=2, lr=3e-3, seed=0, fused=True,
+        fixed_points=True, vol_resident=True, shard=True, log_every=1,
+    )
+    params, metrics = train(cfg)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    # returned params are back in the portable API layout
+    assert params["cells"].shape == (5, 3, 6, 6, 6)
