@@ -195,11 +195,15 @@ def timed_scan(fn, cells, pts, plan, reps=REPS):
 
 
 def main():
-    cfg = SamplerConfig(dim=3)
+    # ABLATE_PREC=bf16 re-runs the stage table under the reduced-precision
+    # MXU mode (VERDICT r3 #3: attribute what remains of the bf16 128^3
+    # step after the geometry sweep); f32 master cells either way.
+    prec = os.environ.get("ABLATE_PREC", "exact")
+    cfg = SamplerConfig(dim=3, precision=prec)
     rng = np.random.RandomState(0)
     cells = jnp.asarray(rng.rand(N, C, S, S, S), jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (Q, 3)), jnp.float32)
-    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"device: {jax.devices()[0]}  precision={prec}", flush=True)
 
     planfn = jax.jit(lambda p: fused3b.make_plan(p, (S, S, S), cfg, QB, GY))
     plan = planfn(pts)
