@@ -56,9 +56,12 @@ N_POINTS = 100_000
 # so short scans inflate every per-step number by fixed/reps ms.
 N_ITERS = 50
 
-# The driver's budget is ~15 min; fire the watchdog well under it so the
-# best-so-far line always lands on stdout before a SIGKILL could.
-WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "780"))
+# The driver's budget is not published; round 2's successful run (~17
+# programs + 2 min backend init, warm cache) bounds it at >= ~12 min, so
+# an 11-min watchdog fires safely under it while leaving room for a
+# cold-cache run to land the flagship stages (~3 min in) plus several
+# more.  Warm-cache full coverage takes 2.5-6 min (BENCHMARKS.md).
+WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "660"))
 # Optional stages start only while this much of the watchdog is unspent;
 # a stage that then overruns is still bounded by the watchdog itself.
 BUDGET_S = max(60, WATCHDOG_S - 180)
@@ -372,10 +375,12 @@ def _large_sweep_flagship(rng):
         log(f"128^3 train step (vol-resident {precision}): "
             f"{sec * 1e3:.0f} ms = {1.0 / sec:.1f} Mpts/s")
 
-    _stage("128^3 vol-resident exact", 240,
+    # est 150 s: warm-cache variants run in ~30 s each (measured, round-4
+    # rehearsals); 150 covers one fresh compile without starving the rest
+    _stage("128^3 vol-resident exact", 150,
            lambda: vol_variant("exact",
                                "large_sweep_16x4x128c_1M_train_step_vol_ms"))
-    _stage("128^3 vol-resident bf16", 240,
+    _stage("128^3 vol-resident bf16", 150,
            lambda: vol_variant(
                "bf16", "large_sweep_16x4x128c_1M_train_step_vol_bf16_ms"))
 
@@ -391,7 +396,7 @@ def _large_sweep_flagship(rng):
             round(sec * 1e3, 1)
         log(f"128^3 train step (planned): {sec * 1e3:.0f} ms")
 
-    _stage("128^3 planned", 240, planned_variant)
+    _stage("128^3 planned", 150, planned_variant)
 
 
 def main():
@@ -479,7 +484,7 @@ def main():
 
     _stage("2D kernel roofline", 120, roofline_2d)
 
-    if elapsed() + 240 <= BUDGET_S:
+    if elapsed() + 150 <= BUDGET_S:
         _large_sweep_flagship(np.random.RandomState(7))
     else:
         log("SKIP 128^3 large sweep: budget")
