@@ -71,6 +71,29 @@ def _f64(*arrays) -> bool:
     return any(a.dtype == jnp.float64 for a in arrays)
 
 
+_SLAB_FALLBACK_WARNED = set()
+
+
+def _slab_guard(op_name, slab_fn, generic_fn):
+    """Run the slab route; degrade to the XLA path on a TRACE/COMPILE-time
+    failure instead of raising (ADVICE r4: the slab dispatch previously
+    had no error fallback for shapes the VMEM model mis-judged).  Only
+    trace-time errors can be caught here — under jit there is no runtime
+    exception path — so this is a safety net for model gaps, logged once
+    per op."""
+    try:
+        return slab_fn()
+    except Exception as e:  # Mosaic VMEM/layout errors are backend-specific
+        if op_name not in _SLAB_FALLBACK_WARNED:
+            _SLAB_FALLBACK_WARNED.add(op_name)
+            import warnings
+
+            warnings.warn(
+                f"slab route failed for {op_name} ({type(e).__name__}: {e}); "
+                "falling back to the XLA path", RuntimeWarning)
+        return generic_fn()
+
+
 def _blend(input, grid, cfg, orders):
     if _f64(input, grid):
         return generic.blend(input, grid, cfg, orders)
@@ -80,8 +103,11 @@ def _blend(input, grid, cfg, orders):
         # is last resort only (its 3D leg faults the TPU runtime under
         # lax.scan, BENCHMARKS.md "Per-cell" caveat)
         if slab.supports(cfg, input.shape, _VMEM_BUDGET):
-            return slab.pallas_blend_slab(input, grid, cfg, orders,
-                                          interpret=INTERPRET)
+            return _slab_guard(
+                "blend",
+                lambda: slab.pallas_blend_slab(input, grid, cfg, orders,
+                                               interpret=INTERPRET),
+                lambda: generic.blend(input, grid, cfg, orders))
         return generic.blend(input, grid, cfg, orders)
     return pallas_blend(input, grid, cfg, orders, interpret=INTERPRET)
 
@@ -92,8 +118,13 @@ def _splat(gout, grid, in_spatial, cfg, orders):
         return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
     if not _fits_vmem(shape, DEFAULT_Q_BLOCK, whole_stack=False):
         if slab.supports(cfg, shape, _VMEM_BUDGET):
-            return slab.pallas_splat_slab(gout, grid, tuple(in_spatial),
-                                          cfg, orders, interpret=INTERPRET)
+            return _slab_guard(
+                "splat",
+                lambda: slab.pallas_splat_slab(gout, grid,
+                                               tuple(in_spatial), cfg,
+                                               orders, interpret=INTERPRET),
+                lambda: generic.splat(gout, grid, tuple(in_spatial), cfg,
+                                      orders))
         return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
     return pallas_splat(gout, grid, tuple(in_spatial), cfg, orders,
                         interpret=INTERPRET)

@@ -31,6 +31,15 @@ Every query is still evaluated against every slab (queries are not
 binned), so this route is for correctness + capability at any volume
 size; the binned v4 generation (fused3b.py) remains the throughput path
 for the fused ensemble op at scale.
+
+Perf caveat (ADVICE r4): the in-kernel sublane-dim merges
+((c,dz)->c*dz, (dz,h)->dz*h, (c,w)->c*w) are layout-free only when the
+merged trailing factor is a multiple of 8 (CLAUDE.md Mosaic rules); dz
+is always a multiple of 8 (_MIN_DZ), but arbitrary H/W force per-block
+relayouts on real hardware.  Accepted for this correctness-first route —
+volumes big enough to land here have H, W >= 128 in practice, and padding
+them host-side would double the resident volume this route exists to
+avoid holding.
 """
 
 from __future__ import annotations
@@ -88,11 +97,17 @@ def _slab_onehot(coord_block, full_size, rows, origin, cfg: SamplerConfig,
 
 def _pick_geom(c: int, spatial: Tuple[int, ...], budget: int,
                q_block: int = SLAB_Q_BLOCK) -> Optional[Tuple[int, int]]:
-    """(dz, c_chunk) so the kernel's two big buffers each fit budget/2.
+    """(dz, c_chunk) so every big kernel buffer fits budget/2.
 
     Prefers whole channels with the fattest slab (fewest slab iterations);
     splits channels only when even dz=8 overflows.  None: no geometry —
-    the caller falls back to XLA.
+    the caller falls back to XLA.  Budgeted buffers: the cell/accumulator
+    block (blend in / splat out), the blend stage-1 (C*dz*rest, Qb)
+    intermediate, the splat's p = (C*W, Qb) panel and its 3D
+    r_outer = (dz*rest, Qb) — the last two are dz-independent /
+    channel-split-sensitive, so a wide last axis (e.g. 2D 4x1024x8192)
+    now forces a channel split or returns None instead of committing to
+    a geometry whose splat overflows Mosaic VMEM (ADVICE r4).
     """
     rows_rest = math.prod(spatial[1:-1]) if len(spatial) > 1 else 1
     w = spatial[-1]
@@ -101,7 +116,9 @@ def _pick_geom(c: int, spatial: Tuple[int, ...], budget: int,
     def fits(dz, cc):
         cell = cc * dz * rows_rest * w * 4
         stage1 = cc * dz * rows_rest * q_block * 4
-        return max(cell, stage1) <= half
+        splat_p = cc * w * q_block * 4
+        r_outer = dz * rows_rest * q_block * 4
+        return max(cell, stage1, splat_p, r_outer) <= half
 
     for cc in range(c, 0, -1):
         if not fits(_MIN_DZ, cc):

@@ -96,6 +96,9 @@ def sharded_sample(input, grid, cfg: SamplerConfig, mesh: Mesh,
     # replication which can't be statically inferred" on the replicated
     # parameter cotangents) — a custom_vjp/vma-inference limitation, not a
     # missing psum; every sharded-vs-single gradient test pins the values.
+    # tests/test_sharding.py::test_check_vma_limitation_probe asserts this
+    # exact failure and will FAIL the day upstream fixes vma inference for
+    # custom_vjp — flip every check_vma=False here back to True then.
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), qspec),

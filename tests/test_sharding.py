@@ -274,3 +274,38 @@ def test_graft_dryrun_multichip():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
+
+
+def test_check_vma_limitation_probe(mesh):
+    """Canary for the check_vma=False debt (parallel/sharding.py).
+
+    Every shard_map wrapper in parallel/sharding.py disables the static
+    replication (vma) check because jax's vma inference cannot see through
+    the sampler's custom_vjp chain IN THE TRANSPOSE: the forward passes
+    with check_vma=True, but jax.grad of the same shard_map fails on the
+    replicated-parameter cotangents (probed round 3, re-pinned here).
+    This test asserts the KNOWN failure, so the day a jax upgrade fixes
+    vma inference for custom_vjp it fails loudly — the signal to flip
+    check_vma back to True in parallel/sharding.py and delete this probe.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.RandomState(3)
+    cfg = SamplerConfig(dim=2, kernel="cosine", multicell=True, backend="xla")
+    cells = jnp.asarray(rng.rand(4, 2, 8, 8))
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 2)))
+    grid = jnp.broadcast_to(pts[None, None], (4, 1, 64, 2))
+
+    checked = jax.shard_map(
+        lambda c, g: sample(c, g, cfg), mesh=mesh,
+        in_specs=(P(), P(None, None, "points", None)),
+        out_specs=P(None, None, None, "points"),
+        check_vma=True,
+    )
+    # the forward is fine under the static check
+    np.testing.assert_allclose(checked(cells, grid),
+                               sample(cells, grid, cfg), rtol=1e-12, atol=0)
+    # ... but its transpose is not: the replicated-cell cotangent's vma
+    # cannot be inferred through the custom_vjp chain
+    with pytest.raises(Exception):
+        jax.grad(lambda c: checked(c, grid).sum())(cells)
