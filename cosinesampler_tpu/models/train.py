@@ -49,6 +49,14 @@ class TrainConfig:
     # fixed_points / vol_resident; batch_points must divide the device
     # count.  On one device it is the identity configuration.
     shard: bool = False
+    # autotune=True measures kernel block sizes for THIS workload signature
+    # on the live device before the loop (one-time; persists to the user
+    # overlay cache, utils/autotune.py) — the portability path for TPU
+    # generations the shipped table (measured on v5e) does not cover.
+    # No-op off-TPU, for already-tuned signatures, and for configs that
+    # route to unbinned kernels.
+    autotune: bool = False
+    autotune_reps: int = 30
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     log_every: int = 50
@@ -101,6 +109,17 @@ def train(cfg: TrainConfig,
                 f"divisible by the device count ({n_dev})")
 
     gen = PointGenerator(cfg.batch_points, mcfg.dim, seed=cfg.seed)
+
+    if cfg.autotune:
+        # before any plan is built: plans embed the tuned block size, so
+        # the new entry must be in the cache first (tune_workload resets
+        # the in-process snapshot after persisting)
+        from ..utils.autotune import tune_workload
+        n_local = cfg.batch_points // (int(mesh.devices.size) if mesh else 1)
+        tune_pts = jnp.asarray(gen.batch(0))[:n_local]
+        tune_workload(params["cells"], tune_pts, mcfg.sampler,
+                      reps=cfg.autotune_reps)
+
     fixed_pts = plan = None
     if cfg.fixed_points:
         fixed_pts = jnp.asarray(gen.batch(0))
@@ -231,6 +250,11 @@ def main(argv=None):
                     help="data-parallelize over all local devices: points "
                          "(and per-shard bin plans) sharded over the mesh, "
                          "params replicated, cell grads psum-reduced")
+    ap.add_argument("--autotune", action="store_true",
+                    help="measure kernel block sizes for this workload on "
+                         "the live device before training (one-time; "
+                         "persists to the user cache — the path for TPU "
+                         "generations the shipped v5e table doesn't cover)")
     args = ap.parse_args(argv)
 
     pde = args.pde or ("allen_cahn" if args.dim == 2 else "helmholtz")
@@ -243,7 +267,7 @@ def main(argv=None):
         seed=args.seed, fused=not args.no_fused,
         fixed_points=args.fixed_points or args.vol_resident,
         vol_resident=args.vol_resident, shard=args.shard,
-        checkpoint_dir=args.checkpoint_dir,
+        autotune=args.autotune, checkpoint_dir=args.checkpoint_dir,
     )
     train(cfg, on_metrics=lambda m: print(json.dumps(m), flush=True))
     return 0

@@ -159,3 +159,43 @@ def test_tune_gy_candidates_for_v3b():
     cands = autotune._candidates("v3b")
     assert {"q_block": 256, "gy": 4, "rb": 4} in cands
     assert all(set(c) == {"q_block", "gy", "rb"} for c in cands)
+
+
+def test_tune_workload_skips_off_tpu():
+    """tune_workload must never run (or poison the cache with) a CPU
+    sweep — off-TPU it returns None and records nothing."""
+    cfg = _cfg3()
+    cells, pts = _data3(q=2048, shape=(8, 4, 8, 8, 16))
+    logs = []
+    res = autotune.tune_workload(cells, pts, cfg, log=logs.append)
+    assert res is None
+    assert any("not TPU" in m for m in logs)
+
+
+def test_tune_workload_routes_and_mocks_sweep(monkeypatch):
+    """On a (mocked) TPU backend, tune_workload resolves the dispatcher's
+    route for the workload and invokes the measured sweep exactly once for
+    an untuned signature, then skips once an entry exists (the trainer
+    --autotune contract, VERDICT r4 #5)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def fake_tune(gen, cells, points, cfg, *, reps=30, save=True, log=print,
+                  **kw):
+        calls.append((gen, tuple(cells.shape), points.shape[0], reps))
+        autotune.record(gen, cells.shape, cfg, points.shape[0],
+                        {"q_block": 128})
+        return {"params": {"q_block": 128}, "us": {"q_block=128": 1.0}}
+
+    monkeypatch.setattr(autotune, "tune", fake_tune)
+    cfg = _cfg3()
+    cells, pts = _data3(q=4096, shape=(8, 4, 8, 8, 16))
+    res = autotune.tune_workload(cells, pts, cfg, reps=3,
+                                 log=lambda *_: None)
+    assert res is not None and calls == [("v3w", (8, 4, 8, 8, 16), 4096, 3)]
+    # second call: entry present -> no sweep
+    assert autotune.tune_workload(cells, pts, cfg,
+                                  log=lambda *_: None) is None
+    assert len(calls) == 1

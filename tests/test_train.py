@@ -175,3 +175,25 @@ def test_train_shard_vol_resident_pallas_interpret(monkeypatch):
     assert all(np.isfinite(m["loss"]) for m in metrics)
     # returned params are back in the portable API layout
     assert params["cells"].shape == (5, 3, 6, 6, 6)
+
+
+def test_train_autotune_flag_invokes_workload_tune(monkeypatch):
+    """--autotune runs the one-time workload tune BEFORE any plan is
+    built, with the cells and the LOCAL point slice (mocked sweep)."""
+    from cosinesampler_tpu.models import train as train_mod
+
+    calls = []
+
+    def fake_tune_workload(cells, points, cfg, *, reps=30, save=True,
+                           log=print):
+        calls.append((tuple(cells.shape), points.shape[0], reps))
+        return None
+
+    monkeypatch.setattr("cosinesampler_tpu.utils.autotune.tune_workload",
+                        fake_tune_workload)
+    cfg = _cfg(steps=2)
+    cfg.autotune = True
+    cfg.autotune_reps = 5
+    _, metrics = train(cfg)
+    assert calls == [((4, 2, 8, 8), 128, 5)]
+    assert np.isfinite(metrics[-1]["loss"])
