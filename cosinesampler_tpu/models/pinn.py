@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.config import SamplerConfig
-from ..ops.fused import (make_fused_vol, sample_features_padded,
+from ..ops.fused import (make_fused_mega, make_fused_vol,
+                         sample_features_padded,
                          sample_features_with_derivs)
 from ..ops.sampler import sample
 
@@ -250,9 +251,39 @@ def loss(params, pts, cfg: PINNConfig):
     return jnp.mean(f**2)
 
 
+def _cells_shape(cfg: PINNConfig):
+    return (cfg.n_cells, cfg.cell_dim, *(cfg.cell_size,) * cfg.dim)
+
+
+def mega_available(cfg: PINNConfig, n_queries: int) -> bool:
+    """True when the one-pass megakernel step serves this trainer shape."""
+    return make_fused_mega(cfg.sampler, _cells_shape(cfg), n_queries,
+                           cfg.pde, cfg.hidden) is not None
+
+
+def value_and_grad_mega(params, pts, cfg: PINNConfig, plan=None):
+    """(loss, grads) of loss_fused_slots in ONE Pallas pass
+    (ops/pallas/mega2w.py): the fused blend, the MLP/residual vjp and the
+    cotangent splat share one kernel's fixed/IO floor instead of two, and
+    the (5C, QP) feature block never round-trips HBM.  Identical
+    semantics to jax.value_and_grad(loss_fused_slots) (up to fp summation
+    order — per-block loss partials sum in f32); falls back to exactly
+    that when the config/shape does not route to the megakernel, so the
+    step is always valid."""
+    run = make_fused_mega(cfg.sampler, _cells_shape(cfg), pts.shape[0],
+                          cfg.pde, cfg.hidden)
+    if run is None:
+        return jax.value_and_grad(
+            lambda p: loss_fused_slots(p, pts, cfg, plan=plan))(params)
+    mlp = {k: params[k] for k in ("w1", "b1", "w2", "b2")}
+    loss, grads = run(params["cells"], mlp, pts, plan=plan)
+    grads = {k: g.astype(params[k].dtype) for k, g in grads.items()}
+    return loss, grads
+
+
 def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
                     slot_resident: bool = False, planned: bool = False,
-                    vol_resident: bool = False):
+                    vol_resident: bool = False, megakernel: bool = False):
     """(params, opt_state, pts) -> (params, opt_state, loss); jit-ready.
 
     ``fused=True`` uses the single-pass value/derivative sampler
@@ -275,7 +306,21 @@ def make_train_step(cfg: PINNConfig, optimizer, fused: bool = False,
     optimizer runs on the padded volume; its update must vanish at zero
     gradient + zero parameter (adam/sgd/adamw do) so the pad slots stay
     exactly zero.
+    ``megakernel=True`` (implies planned; 2D) computes the whole loss
+    gradient in ONE Pallas pass (value_and_grad_mega) instead of a
+    fwd + transpose kernel pair — the fastest 2D configuration; falls
+    back to the planned two-kernel step when the shape does not route.
     """
+    if megakernel:
+        def step(params, opt_state, pts, plan):
+            lval, grads = value_and_grad_mega(params, pts, cfg, plan)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, lval
+
+        return step
+
     if vol_resident:
         def step(params, opt_state, pts, plan):
             lval, grads = jax.value_and_grad(

@@ -421,6 +421,20 @@ def make_fused_vol(cfg: SamplerConfig, n_cells: int, channels: int,
     return result
 
 
+def make_fused_mega(cfg: SamplerConfig, cells_shape, n_queries: int,
+                    pde: str, hidden: int):
+    """The one-pass train-step gradient hook (ops/pallas/mega2w.py), or
+    None when the config/shape does not route to it: a callable
+    ``(cells, mlp_params, points, plan) -> (loss, grads)`` whose grads
+    pytree matches pinn.init_params.  The plan is a make_sample_plan plan
+    for the same (points, cells_shape, cfg) — the megakernel shares the
+    v2w slot layout, so plans interchange."""
+    hook = _resolve_fused(cfg, "fused_mega")
+    if hook is None:
+        return None
+    return hook(cfg, tuple(cells_shape), n_queries, pde, hidden)
+
+
 def trim_plan(plan, block_bucket: int | None = None):
     """Slice a CONCRETE bin plan to its used block prefix.
 

@@ -13,7 +13,8 @@ import math
 
 from .. import generic
 from ..sampler import register_backend
-from . import fused2d, fused2w, fused3b, fused3d, fused3s, fused3w, slab
+from . import (fused2d, fused2w, fused3b, fused3d, fused3s, fused3w, mega2w,
+               slab)
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 from .prep import VMEM_BUDGET as _VMEM_BUDGET
@@ -294,6 +295,35 @@ def _fused_vol_bundle(cfg, cells_shape, n_queries):
             "bwd": bwd}
 
 
+def _fused_mega(cfg, cells_shape, n_queries, pde, hidden):
+    """The v6 residual-megakernel step hook: a callable
+    (cells, mlp_params, points, plan) -> (loss, grads) or None.
+
+    Gated on the config routing to the v2w generation (the megakernel
+    shares its window geometry, slot layout and PLAN format — a
+    make_sample_plan plan for this config is valid verbatim) and on
+    mega2w's own supports().  Tuned kwargs come from the v2w table so the
+    plan builder and the megakernel agree on q_block."""
+    if _f64() or _strict_mixed_align(cfg):
+        return None
+    cells_shape = tuple(cells_shape)
+    if _padded_route(cfg, cells_shape, n_queries) is not fused2w:
+        return None
+    kw = _tuned(fused2w, cfg, cells_shape, n_queries)
+    if not mega2w.supports(cfg, cells_shape, _VMEM_BUDGET, n_queries,
+                           hidden=hidden, pde=pde, **kw):
+        return None
+
+    def run(cells, mlp_params, points, plan=None):
+        tile = mega2w.pack_mlp(mlp_params["w1"], mlp_params["b1"],
+                               mlp_params["w2"], mlp_params["b2"])
+        return mega2w.pallas_mega2w_step(cells, tile, points, cfg, pde,
+                                         hidden, interpret=INTERPRET,
+                                         plan=plan, **kw)
+
+    return run
+
+
 def _fused_plan(points, cells_shape, cfg):
     """Precompute the bin plan for the padded kernel this config routes to
     (None when no slot-resident kernel applies — identity plan).
@@ -317,7 +347,8 @@ for _dim in (2, 3):
                      fused_bwd=_fused_bwd)
     register_backend("pallas", _dim, fused_padded=_fused_padded,
                      fused_padded_bwd=_fused_padded_bwd,
-                     fused_plan=_fused_plan, fused_vol=_fused_vol_bundle)
+                     fused_plan=_fused_plan, fused_vol=_fused_vol_bundle,
+                     fused_mega=_fused_mega)
 
 __all__ = ["pallas_blend", "pallas_splat", "pallas_fused_blend",
            "pallas_fused_bwd", "INTERPRET"]

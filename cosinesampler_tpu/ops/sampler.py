@@ -46,13 +46,14 @@ _BACKEND_IMPLS = {}
 def register_backend(name: str, dim: int, *, blend=None, splat=None,
                      fused_blend=None, fused_bwd=None,
                      fused_padded=None, fused_padded_bwd=None,
-                     fused_plan=None, fused_vol=None):
+                     fused_plan=None, fused_vol=None, fused_mega=None):
     impls = _BACKEND_IMPLS.setdefault((name, dim), {})
     for key, fn in (("blend", blend), ("splat", splat),
                     ("fused_blend", fused_blend), ("fused_bwd", fused_bwd),
                     ("fused_padded", fused_padded),
                     ("fused_padded_bwd", fused_padded_bwd),
-                    ("fused_plan", fused_plan), ("fused_vol", fused_vol)):
+                    ("fused_plan", fused_plan), ("fused_vol", fused_vol),
+                    ("fused_mega", fused_mega)):
         if fn is not None:
             impls[key] = fn
 
