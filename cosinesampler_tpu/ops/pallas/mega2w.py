@@ -123,6 +123,31 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     return n_queries is None or n_queries >= MEGA_MIN_Q
 
 
+def _tanh_precise(x):
+    """f32-accurate tanh for the in-kernel MLP.
+
+    Mosaic's native tanh measures ~3.4e-5 absolute error on v5e
+    (scripts/probe_mega.py) — the ops/interpolants precise-trig lesson
+    again — and the PINN residual squares it through the tanh' chain into
+    a ~2e-3 relative loss deviation vs the XLA two-kernel path.  Mosaic's
+    exp is ~4.5e-6 relative, so the rational form (1 - e)/(1 + e) with
+    e = exp(-2x) lands ~2e-6 absolute; the clip keeps e finite in f32
+    (exp(40) ~ 2.4e17) and AD through the composition gives the
+    derivative 4e/(1+e)^2 at the same accuracy.
+
+    The exponent must be the NEGATIVE magnitude: with e = exp(-2|x|) in
+    (0, 1] every (1+e)^k power in the order-3 AD chain (two nested jvp's
+    + the vjp over them) stays in [1, 2^k] — a clipped two-sided exp
+    (e up to exp(40)) overflowed f32 in exactly those powers and NaN'd
+    the whole step on TPU.  ``s`` is a piecewise-CONSTANT sign (AD
+    derivative 0), so d/dx tanh = 4e/(1+e)^2 * s^2 comes out right,
+    including tanh'(0) = 1 at exactly x = 0 (an |x|/sign formulation
+    breaks there)."""
+    s = jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
+    e = jnp.exp(-2.0 * s * x)
+    return s * (1.0 - e) / (1.0 + e)
+
+
 def _residual(pde: str, u, u_d, u_dd):
     """The PDE residual on (1, Qb) fields (pinn._residual_from_fields)."""
     if pde == "allen_cahn":
@@ -218,13 +243,17 @@ def _mega2w_kernel(xyv_ref, meta_ref, off_ref, mlp_ref, win_ref, wins0_ref,
             # and the occupancy mask — with zero host round trips.
             def blk(w1t_, b1c_, w2c_, b2v_, f5):
                 def net(z):                                # (C,Qb)->(1,Qb)
-                    pre = jax.lax.dot_general(
-                        w1t_, z, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    hdn = jnp.tanh(pre + b1c_)
-                    return jax.lax.dot_general(
-                        w2c_, hdn, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32) + b2v_
+                    # Unrolled VPU broadcast-FMAs, NOT dot_general: a f32
+                    # dot defaults to one bf16 MXU pass (CLAUDE.md rule
+                    # #1, ~1e-3 error on u that the residual squares) and
+                    # HIGHEST would cost 6 tiny MXU passes per dot per
+                    # derivative order.  At K = C (4) and hidden = 16 the
+                    # contractions are vector work.
+                    pre = b1c_
+                    for ci in range(c):
+                        pre = pre + w1t_[:, ci:ci + 1] * z[ci:ci + 1, :]
+                    hdn = _tanh_precise(pre)
+                    return (w2c_ * hdn).sum(axis=0, keepdims=True) + b2v_
 
                 f = f5[0]
                 u = net(f)
@@ -243,12 +272,32 @@ def _mega2w_kernel(xyv_ref, meta_ref, off_ref, mlp_ref, win_ref, wins0_ref,
             lb, vjp = jax.vjp(blk, w1t, b1c, w2c, b2v, feats)
             gw1t, gb1c, gw2c, gb2v, gfeats = vjp(jnp.float32(1.0))
 
-            tile = jnp.zeros_like(stats_ref[0])
-            tile = tile.at[0:hidden, 0:c].set(gw1t)
-            tile = tile.at[0:hidden, c:c + 1].set(gb1c)
-            tile = tile.at[0:hidden, c + 1:c + 2].set(gw2c)
-            tile = tile.at[0:1, c + 2:c + 3].set(gb2v)
-            tile = tile.at[0:1, c + 3:c + 4].set(lb.reshape(1, 1))
+            # Mosaic-safe tile assembly: .at[].set lowers to lax.scatter
+            # and value-level dynamic_update_slice has no TPU lowering, so
+            # every piece is placed with broadcast column/element masks —
+            # pure VPU, exact.
+            t_rows = stats_ref.shape[1]
+            rpad = t_rows - hidden
+            ri = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 128), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (t_rows, 128), 1)
+
+            def _rowpad(x):
+                if rpad == 0:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.zeros((rpad, x.shape[1]), jnp.float32)], axis=0)
+
+            def col(j):
+                return (ci == j).astype(jnp.float32)
+
+            tile = gb2v[0, 0] * ((ri == 0) & (ci == c + 2)
+                                 ).astype(jnp.float32)
+            tile = tile + lb * ((ri == 0) & (ci == c + 3)
+                                ).astype(jnp.float32)
+            for cj in range(c):
+                tile = tile + _rowpad(gw1t[:, cj:cj + 1]) * col(cj)
+            tile = tile + _rowpad(gb1c) * col(c)
+            tile = tile + _rowpad(gw2c) * col(c + 1)
             stats_ref[0] = stats_ref[0] + tile
 
             # ---- stage 3: cotangent splat (fused2w bwd; gfeats already

@@ -73,7 +73,26 @@ def main():
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--points", type=int, default=100_000)
     ap.add_argument("--precisions", default="exact,bf16")
+    ap.add_argument("--qb", type=int, default=None,
+                    help="override the tuned v2w q_block for BOTH variants "
+                         "via a temp overlay cache (single-session A/B)")
     args = ap.parse_args()
+
+    if args.qb:
+        import os
+        import tempfile
+
+        from cosinesampler_tpu.ops.config import SamplerConfig
+        from cosinesampler_tpu.utils import autotune
+
+        overlay = tempfile.mktemp(suffix=".json")
+        os.environ["COSINESAMPLER_TUNE_CACHE"] = overlay
+        for prec in args.precisions.split(","):
+            autotune.record(
+                "v2w", (96, 4, 16, 16),
+                SamplerConfig(dim=2, precision=prec, backend="pallas"),
+                args.points, {"q_block": args.qb}, path=None)
+        log(f"q_block override {args.qb} via {overlay}")
 
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.uniform(-0.95, 0.95, (args.points, 2)), jnp.float32)
