@@ -42,6 +42,14 @@ class TrainConfig:
     # section: 75.0 -> 74.4 ms f32, 56.7 ms with precision="bf16").
     # Checkpoints are converted to/from the portable API layout.
     vol_resident: bool = False
+    # megakernel=True (2D) computes the whole per-step gradient in ONE
+    # Pallas pass (pinn.value_and_grad_mega; ops/pallas/mega2w.py) — the
+    # fastest 2D configuration (BENCHMARKS.md megakernel section), and
+    # the MORE accurate one (its in-kernel MLP is f32-exact, where the
+    # two-kernel path's XLA MLP rides TPU default-precision matmuls).
+    # Falls back to the two-kernel step when the shape doesn't route.
+    # Composes with fixed_points (plan hoisting) and shard.
+    megakernel: bool = False
     # shard=True data-parallelizes the step over every local device
     # (parallel/sharding.py): points (and their per-shard bin plans) ride
     # the mesh's points axis, params/optimizer state stay replicated, and
@@ -163,6 +171,18 @@ def train(cfg: TrainConfig,
         else:
             step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
                                                    vol_resident=True))
+    elif cfg.megakernel:
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_mega_step
+            step_fn = make_sharded_mega_step(mcfg, optimizer, mesh)
+        else:
+            step_fn = jax.jit(pinn.make_train_step(mcfg, optimizer,
+                                                   megakernel=True))
+        if plan is None:
+            # the mega step takes a plan argument; None re-bins per call
+            # (hoisted by XLA under a scan, repaid per dispatch)
+            _mega_step4 = step_fn
+            step_fn = lambda p, s, pts: _mega_step4(p, s, pts, None)
     elif plan is not None:
         if mesh is not None:
             from ..parallel.sharding import make_sharded_slots_step
@@ -250,6 +270,10 @@ def main(argv=None):
                     help="data-parallelize over all local devices: points "
                          "(and per-shard bin plans) sharded over the mesh, "
                          "params replicated, cell grads psum-reduced")
+    ap.add_argument("--megakernel", action="store_true",
+                    help="one-pass train-step gradient (2D): the fused "
+                         "blend, MLP/residual vjp and cotangent splat in "
+                         "a single Pallas kernel — fastest 2D path")
     ap.add_argument("--autotune", action="store_true",
                     help="measure kernel block sizes for this workload on "
                          "the live device before training (one-time; "
@@ -267,7 +291,8 @@ def main(argv=None):
         seed=args.seed, fused=not args.no_fused,
         fixed_points=args.fixed_points or args.vol_resident,
         vol_resident=args.vol_resident, shard=args.shard,
-        autotune=args.autotune, checkpoint_dir=args.checkpoint_dir,
+        megakernel=args.megakernel, autotune=args.autotune,
+        checkpoint_dir=args.checkpoint_dir,
     )
     train(cfg, on_metrics=lambda m: print(json.dumps(m), flush=True))
     return 0

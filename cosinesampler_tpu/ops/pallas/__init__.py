@@ -272,6 +272,7 @@ def _fused_vol_bundle(cfg, cells_shape, n_queries):
     qb = kw.get("q_block", fused3b.V3B_Q_BLOCK)
     gy = kw.get("gy", fused3b.V3B_GY)
     rb = kw.get("rb")
+    sb = kw.get("sb", fused3b.V3B_SB)
     n, c = cells_shape[:2]
     spatial = cells_shape[2:]
 
@@ -284,11 +285,11 @@ def _fused_vol_bundle(cfg, cells_shape, n_queries):
     def blend(vol, points, plan=None):
         return fused3b.pallas_fused3b_blend_vol(
             vol, points, cfg, n, c, spatial, q_block=qb, gy=gy, rb=rb,
-            interpret=INTERPRET, plan=plan)
+            sb=sb, interpret=INTERPRET, plan=plan)
 
     def bwd(g_p, points, plan=None):
         return fused3b.pallas_fused3b_bwd_vol(
-            g_p, points, spatial, cfg, n, q_block=qb, gy=gy, rb=rb,
+            g_p, points, spatial, cfg, n, q_block=qb, gy=gy, rb=rb, sb=sb,
             interpret=INTERPRET, plan=plan)
 
     return {"to_vol": to_vol, "from_vol": from_vol, "blend": blend,

@@ -75,6 +75,15 @@ V3B_GY = 2            # y rows per bin; brick window is GY + 2 rows
 # while the per-block MXU/VPU work is untouched (each block still slices
 # its own bin's wy_rows from the super-brick at a dynamic row offset).
 V3B_RB = 8
+# Sub-blocks (query blocks) per Pallas grid step.  The v4 grids run ~13k
+# blocks at the 128^3 sweep and the ~1.3 us/block fixed grid-step cost is
+# BOTH passes' floor (BENCHMARKS.md round-4 attribution; the bf16 forward
+# sits exactly at the copy floor with all compute hidden).  Grouping sb
+# consecutive blocks per grid step pays that cost once per sb while the
+# bin padding stays q_block-granular (the fused2w._pad_super idiom —
+# measured a WASH on the ~800-block v5 kernels, but v4's block count is
+# 16x that).  Default set by the round-5 A/B (scripts/time_ghost.py).
+V3B_SB = 1
 _HBM_BUDGET = 4 << 30  # bytes for the padded HBM-resident volume
 # Below ~this many queries per bin the padding blocks dominate the brick
 # kernels; small clouds on large volumes stay on the XLA path.  Kept LOW
@@ -132,7 +141,8 @@ def _rb_fit(cfg: SamplerConfig, n: int, c: int, w: int, gy: int) -> int:
 
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None, q_block: int | None = None,
-             gy: int | None = None, rb: int | None = None) -> bool:
+             gy: int | None = None, rb: int | None = None,
+             sb: int = 1) -> bool:
     q_block = q_block or V3B_Q_BLOCK
     gy = gy or V3B_GY
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
@@ -151,6 +161,10 @@ def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
     # copies of the brick rows: a degenerate very-wide-W volume can pass
     # the gates above yet blow VMEM at runtime (see ops/pallas/mxu.py).
     if nsh * w * q_block * 4 > vmem_budget:
+        return False
+    # per-grid-step IO blocks scale with sb: (4, sb*Qb) coords + the
+    # (7C, sb*Qb) out / cotangent block
+    if (4 + 7 * c) * sb * q_block * 4 > vmem_budget:
         return False
     if mxu.passes_for(cfg) * nsh * n * c * wy * w * 2 > vmem_budget:
         return False
@@ -271,7 +285,7 @@ def scatter_to_slots(arr, positions, qp):
 
 def make_plan(points, in_spatial, cfg: SamplerConfig,
               q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-              rb: int | None = None):
+              rb: int | None = None, sb: int = 1):
     """Precompute the bin plan for a FIXED point set.
 
     At the 1M-point 128^3 sweep the binning (the lax.sort over 1M keys
@@ -286,10 +300,12 @@ def make_plan(points, in_spatial, cfg: SamplerConfig,
     the ``plan=`` kwarg of the padded kernels (or the public
     ``make_sample_plan`` / ``sample_features_padded`` API).  The plan is
     only valid for the exact (points, volume shape, cfg, q_block) it was
-    built from.  ``rb`` (super-brick width) never affects the plan — it is
-    accepted so autotune can pass one kwarg dict to plan and kernels.
+    built from.  ``rb`` (super-brick width) and ``sb`` (sub-blocks per
+    grid step; padding is applied in the kernels) never affect the plan —
+    they are accepted so autotune can pass one kwarg dict to plan and
+    kernels.
     """
-    del rb
+    del rb, sb
     d, h, _ = in_spatial
     positions, occ, z0, y0, hasv, qp = _brick_bin(points, d, h, cfg,
                                                   q_block, gy)
@@ -455,7 +471,7 @@ _B_Z0, _B_Y0, _B_YS, _B_HASV, _B_NZ0, _B_NYS, _B_FIRST, _B_SBF, \
 
 def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
                           out_ref, scratch, sem,
-                          *, cfg, spatial, gy, rb, q_block, channels,
+                          *, cfg, spatial, gy, rb, q_block, sb, channels,
                           n_cells, wpad):
     d, h, w = spatial
     c = channels
@@ -463,10 +479,6 @@ def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
     nsh = n_shifts(cfg)
     wy_rows = gy + front_pad(cfg)
     rows_s = rb * gy + front_pad(cfg)
-    z0 = meta_ref[0, 0, _B_Z0]
-    y0 = meta_ref[0, 0, _B_Y0]
-    ys = meta_ref[0, 0, _B_YS]
-    p = meta_ref[0, 0, _B_PAR]
 
     # Double-buffered SUPER-brick prefetch across grid steps: one DMA per
     # rb consecutive y bins (rb*gy + fp rows — consecutive bins in the
@@ -480,6 +492,14 @@ def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
     # Scratch / semaphores persist across the sequential TPU grid, and
     # the chain runs only over the real-block PREFIX (_brick_bin packs
     # every real block before every padding block).
+    #
+    # ``sb`` consecutive query blocks run per grid step (round-5): the
+    # per-grid-step fixed cost (~1.3 us/block measured at the 128^3
+    # sweep's ~13k blocks — the forward's floor, BENCHMARKS.md) is paid
+    # once per sb blocks.  The meta/parity/prefetch flags are per
+    # SUB-block over the GLOBAL block sequence, so the double-buffer DMA
+    # chain is exactly the sb=1 chain re-cut at a coarser grid (the
+    # fused2w._pad_super idiom).
     cn3 = nsh * c * n
 
     def sbrick_dma(slot, zz, yy):
@@ -487,77 +507,86 @@ def _fused3b_blend_kernel(xyzv_ref, meta_ref, off_ref, vol_ref,
             vol_ref.at[pl.ds(yy, rows_s), pl.ds(zz, nsh)],
             scratch.at[pl.ds(rows_s * slot, rows_s)], sem.at[slot])
 
-    @pl.when(meta_ref[0, 0, _B_HASV] > 0)
-    def _():
-        @pl.when(meta_ref[0, 0, _B_FIRST] > 0)
+    for s in range(sb):
+        z0 = meta_ref[s, 0, _B_Z0]
+        y0 = meta_ref[s, 0, _B_Y0]
+        ys = meta_ref[s, 0, _B_YS]
+        p = meta_ref[s, 0, _B_PAR]
+
+        @pl.when(meta_ref[s, 0, _B_HASV] > 0)
         def _():
-            sbrick_dma(p, z0, ys).start()
+            @pl.when(meta_ref[s, 0, _B_FIRST] > 0)
+            def _():
+                sbrick_dma(p, z0, ys).start()
 
-        @pl.when(meta_ref[0, 0, _B_SBF] > 0)
+            @pl.when(meta_ref[s, 0, _B_SBF] > 0)
+            def _():
+                sbrick_dma(p, z0, ys).wait()
+
+            @pl.when((meta_ref[s, 0, _B_SBF] > 0)
+                     & (meta_ref[s, 0, _B_NHAS] > 0))
+            def _():
+                sbrick_dma(1 - p, meta_ref[s, 0, _B_NZ0],
+                           meta_ref[s, 0, _B_NYS]).start()
+
+            valid = (xyzv_ref[s, 3] > 0.5).astype(jnp.float32)
+            off_col = off_ref[:, 0:1]
+            hx, wx = _axis_prep_wp(xyzv_ref[s, 0:1], w, wpad, cfg, off_col,
+                                   q_block)
+            hyl, wyw, ymask = _axis_prep_window(xyzv_ref[s, 1:2], h, cfg,
+                                                off_col, q_block, y0, gy)
+            wz, zmask = _z_weights(xyzv_ref[s, 2:3], d, cfg, off_col,
+                                   z0 - 2)
+            mask = valid * ymask * zmask
+            # stage 1 (MXU): contract x against every row of this block's
+            # bin window — wy_rows rows sliced from the super-brick at the
+            # bin's dynamic row offset.  M order is (window row, slab, c,
+            # n) — the brick DMA's row-major landing — so stage 2 slices
+            # rows at cn3 granularity, tile-aligned.
+            rows = scratch[pl.ds(rows_s * p + (y0 - ys), wy_rows)].reshape(
+                wy_rows * cn3, wpad)
+            terms = mxu.data_terms(rows, mxu.passes_for(cfg))
+            b1 = [
+                mxu.onehot_dot_terms(terms, hx[i],
+                                     (((1,), (0,)), ((), ())))
+                for i in range(nsh)
+            ]                                             # (wy_rows*cn3, Qb)
+            rows_acc = [jnp.zeros((c, n, q_block), jnp.float32)
+                        for _ in _ROWS_3D]
+            for j in range(nsh):
+                for i in range(nsh):
+                    # stage 2 (VPU): one-hot row blend over the y window,
+                    # (1, Qb) row factors broadcast over aligned 2D slices
+                    # hyl[j] hits row = loci + j with loci in [0, gy-1]:
+                    # only rows j..j+gy-1 can be non-zero one-hots, so the
+                    # blend skips the identically-zero window rows.
+                    v = jnp.zeros((cn3, q_block), jnp.float32)
+                    for row in range(j, j + gy):
+                        v = v + (b1[i][row * cn3:(row + 1) * cn3]
+                                 * hyl[j][row][None, :])
+                    v = v.reshape(nsh, c, n, q_block)     # layout-free
+                    # factored blend (see fused3d._ROW_FACTORS): z-reduce
+                    # the nsh slabs once per z-order, share the 5 (kx, ky)
+                    # pair products — ~3x fewer VPU-wide ops than per-row
+                    # FMAs
+                    zv = [sum(v[k] * wz[kz][k][None] for k in range(nsh))
+                          for kz in range(3)]
+                    pair = [(wyw[ky][j] * wx[kx][i])[None]
+                            for (kx, ky) in _XY_PAIRS]      # (1, N, Qb)
+                    for r, (pi, kz) in enumerate(_ROW_FACTORS):
+                        rows_acc[r] = rows_acc[r] + pair[pi] * zv[kz]
+            out = jnp.concatenate(
+                [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
+            out_ref[s] = out * mask
+
+        @pl.when(meta_ref[s, 0, _B_HASV] == 0)
         def _():
-            sbrick_dma(p, z0, ys).wait()
-
-        @pl.when((meta_ref[0, 0, _B_SBF] > 0)
-                 & (meta_ref[0, 0, _B_NHAS] > 0))
-        def _():
-            sbrick_dma(1 - p, meta_ref[0, 0, _B_NZ0],
-                       meta_ref[0, 0, _B_NYS]).start()
-
-        valid = (xyzv_ref[0, 3] > 0.5).astype(jnp.float32)
-        off_col = off_ref[:, 0:1]
-        hx, wx = _axis_prep_wp(xyzv_ref[0, 0:1], w, wpad, cfg, off_col,
-                               q_block)
-        hyl, wyw, ymask = _axis_prep_window(xyzv_ref[0, 1:2], h, cfg,
-                                            off_col, q_block, y0, gy)
-        wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
-        mask = valid * ymask * zmask
-        # stage 1 (MXU): contract x against every row of this block's bin
-        # window — wy_rows rows sliced from the super-brick at the bin's
-        # dynamic row offset.  M order is (window row, slab, c, n) — the
-        # brick DMA's row-major landing — so stage 2 slices rows at cn3
-        # granularity, tile-aligned.
-        rows = scratch[pl.ds(rows_s * p + (y0 - ys), wy_rows)].reshape(
-            wy_rows * cn3, wpad)
-        terms = mxu.data_terms(rows, mxu.passes_for(cfg))
-        b1 = [
-            mxu.onehot_dot_terms(terms, hx[i], (((1,), (0,)), ((), ())))
-            for i in range(nsh)
-        ]                                                 # (wy_rows*cn3, Qb)
-        rows_acc = [jnp.zeros((c, n, q_block), jnp.float32)
-                    for _ in _ROWS_3D]
-        for j in range(nsh):
-            for i in range(nsh):
-                # stage 2 (VPU): one-hot row blend over the y window,
-                # (1, Qb) row factors broadcast over aligned 2D slices
-                # hyl[j] hits row = loci + j with loci in [0, gy-1]:
-                # only rows j..j+gy-1 can be non-zero one-hots, so the
-                # blend skips the identically-zero window rows.
-                v = jnp.zeros((cn3, q_block), jnp.float32)
-                for row in range(j, j + gy):
-                    v = v + (b1[i][row * cn3:(row + 1) * cn3]
-                             * hyl[j][row][None, :])
-                v = v.reshape(nsh, c, n, q_block)         # layout-free
-                # factored blend (see fused3d._ROW_FACTORS): z-reduce the
-                # nsh slabs once per z-order, share the 5 (kx, ky) pair
-                # products — ~3x fewer VPU-wide ops than per-row FMAs
-                zv = [sum(v[k] * wz[kz][k][None] for k in range(nsh))
-                      for kz in range(3)]
-                pair = [(wyw[ky][j] * wx[kx][i])[None]
-                        for (kx, ky) in _XY_PAIRS]          # (1, N, Qb)
-                for r, (pi, kz) in enumerate(_ROW_FACTORS):
-                    rows_acc[r] = rows_acc[r] + pair[pi] * zv[kz]
-        out = jnp.concatenate(
-            [jnp.sum(acc, axis=1) for acc in rows_acc], axis=0)
-        out_ref[0] = out * mask
-
-    @pl.when(meta_ref[0, 0, _B_HASV] == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[s] = jnp.zeros((7 * c, q_block), jnp.float32)
 
 
 def _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg: SamplerConfig,
                   spatial, q_block: int, gy: int, rb: int, c: int,
-                  npad: int, n_real: int, interpret: bool):
+                  npad: int, n_real: int, interpret: bool, sb: int = 1):
     """Shared pallas_call tail of the padded/vol blend entries: per-block
     metadata + kernel launch over an already-kernel-layout volume.
     Returns the (7, C, QP) f32 slot-ordered output."""
@@ -607,16 +636,25 @@ def _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg: SamplerConfig,
     meta = jnp.stack(
         [z0, y0, ys, hasv, nz0, nys, first, sbf, nhas, parity],
         axis=1).astype(jnp.int32).reshape(nblocks, 1, 10)
+    # sub-blocking (sb blocks per grid step): pad the block count to a
+    # multiple of sb with inert tail blocks (hasv = 0, edge meta so the
+    # in-bounds invariants hold); the slot layout/plan is sb-independent
+    nsuper = -(-nblocks // sb)
+    extra = nsuper * sb - nblocks
+    if extra:
+        xyzv = jnp.pad(xyzv, ((0, extra), (0, 0), (0, 0)))
+        meta = jnp.pad(meta, ((0, extra), (0, 0), (0, 0)), mode="edge")
+        meta = meta.at[nblocks:, :, _B_HASV].set(0)
     kernel = functools.partial(
         _fused3b_blend_kernel, cfg=cfg, spatial=(d, h, w), gy=gy, rb=rb,
-        q_block=q_block, channels=c, n_cells=npad, wpad=wp)
+        q_block=q_block, sb=sb, channels=c, n_cells=npad, wpad=wp)
     out = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, 4, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((sb, 4, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 10), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((sb, 1, 10), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -627,9 +665,9 @@ def _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg: SamplerConfig,
         # of a (7C, QP) array — at ~13k grid blocks the strided descriptor
         # latency was a per-block floor.  The query-major layout is
         # restored host-side (one cheap XLA transpose).
-        out_specs=pl.BlockSpec((1, 7 * c, q_block), lambda qi: (qi, 0, 0),
+        out_specs=pl.BlockSpec((sb, 7 * c, q_block), lambda qi: (qi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks, 7 * c, q_block),
+        out_shape=jax.ShapeDtypeStruct((nsuper * sb, 7 * c, q_block),
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * (rb * gy + fp), nsh, c * npad, wp),
@@ -641,14 +679,14 @@ def _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg: SamplerConfig,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xyzv, meta, offsets, vol)
-    return out.transpose(1, 0, 2).reshape(7, c, qp)
+    return out[:nblocks].transpose(1, 0, 2).reshape(7, c, qp)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
-                                             "interpret"))
+                                             "sb", "interpret"))
 def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                 q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                                rb: int | None = None,
+                                rb: int | None = None, sb: int = 1,
                                 interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
 
@@ -667,19 +705,19 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
     cells_p = jnp.pad(cells, ((0, npad - n),) + ((0, 0),) * 4)
     vol = _pad_volume_yzc(cells_p, d, h, w, hp, wp, front_pad(cfg), cfg)
     out = _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg, (d, h, w),
-                        q_block, gy, rb, c, npad, n, interpret)
+                        q_block, gy, rb, c, npad, n, interpret, sb=sb)
     dtype = jnp.promote_types(cells.dtype, points.dtype)
     return out.astype(dtype), occ, positions
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_cells", "channels",
                                              "in_spatial", "q_block", "gy",
-                                             "rb", "interpret"))
+                                             "rb", "sb", "interpret"))
 def pallas_fused3b_blend_vol(vol, points, cfg: SamplerConfig, n_cells: int,
                              channels: int, in_spatial: Tuple[int, ...],
                              q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                             rb: int | None = None, interpret: bool = False,
-                             plan=None):
+                             rb: int | None = None, sb: int = 1,
+                             interpret: bool = False, plan=None):
     """Slot-resident blend over a KERNEL-LAYOUT volume (see vol_layout).
 
     Same contract as pallas_fused3b_blend_padded, but ``vol`` is the
@@ -698,21 +736,22 @@ def pallas_fused3b_blend_vol(vol, points, cfg: SamplerConfig, n_cells: int,
         points, d, h, cfg, q_block, gy, plan)
     out = _blend3b_call(mxu.data_cast(vol, cfg), pts_p, occ, z0, y0, hasv,
                         qp, cfg, (d, h, w), q_block, gy, rb, channels, npad,
-                        n_cells, interpret)
+                        n_cells, interpret, sb=sb)
     dtype = jnp.promote_types(vol.dtype, points.dtype)
     return out.astype(dtype), occ, positions
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "q_block", "gy", "rb",
-                                             "interpret"))
+                                             "sb", "interpret"))
 def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                          q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                         rb: int | None = None, interpret: bool = False):
+                         rb: int | None = None, sb: int = 1,
+                         interpret: bool = False):
     """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
     c = cells.shape[1]
     q = points.shape[0]
     out_p, _, positions = pallas_fused3b_blend_padded(
-        cells, points, cfg, q_block=q_block, gy=gy, rb=rb,
+        cells, points, cfg, q_block=q_block, gy=gy, rb=rb, sb=sb,
         interpret=interpret)
     qp = out_p.shape[-1]
     return out_p.reshape(7 * c, qp)[:, positions].reshape(7, c, q)
@@ -723,107 +762,225 @@ def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
 _BW_Z0, _BW_Y0, _BW_YS, _BW_HASV, _BW_SP, _BW_SN = range(6)
 
 
-def _fused3b_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref,
-                        vol0_ref, out_ref, scratch, sem_in, sem_out, *, cfg,
-                        spatial, gy, rb, q_block, channels, n_cells, wpad):
-    del vol0_ref  # aliased to out_ref; zero-initialized by XLA
+def _bwd3b_block_contrib(xyzv_ref, off_ref, g_ref, s, *, cfg, spatial, gy,
+                         q_block, channels, n_cells, wpad, y0, z0):
+    """One query block's window cotangent (wy_rows, nsh, C*N, Wp).
+
+    The factored transpose of the blend — stage 1 spreads the weighted
+    cotangents over the window rows on the VPU, stage 2 scatters over x
+    via the one-hot transpose on the MXU.  Shared verbatim by the
+    serialized-RMW and ghost-accumulator backward kernels (they differ
+    only in how this contribution reaches HBM)."""
     d, h, w = spatial
     c = channels
     n = n_cells
     nsh = n_shifts(cfg)
     wy_rows = gy + front_pad(cfg)
-    rows_s = rb * gy + front_pad(cfg)
-    z0 = meta_ref[0, 0, _BW_Z0]
-    y0 = meta_ref[0, 0, _BW_Y0]
-    ys = meta_ref[0, 0, _BW_YS]
-
     cn3 = nsh * c * n
+    valid = (xyzv_ref[s, 3] > 0.5).astype(jnp.float32)
+    off_col = off_ref[:, 0:1]
+    hx, wx = _axis_prep_wp(xyzv_ref[s, 0:1], w, wpad, cfg, off_col,
+                           q_block)
+    hyl, wyw, ymask = _axis_prep_window(xyzv_ref[s, 1:2], h, cfg, off_col,
+                                        q_block, y0, gy)
+    wz, zmask = _z_weights(xyzv_ref[s, 2:3], d, cfg, off_col, z0 - 2)
+    mask = valid * ymask * zmask
 
-    @pl.when(meta_ref[0, 0, _BW_HASV] > 0)
-    def _():
-        # Same-SUPER-bin RMW elision: the scatter accumulates into a
-        # rb-bin-tall super-brick held in scratch.  When the previous
-        # block already holds this super-brick (sp), skip the read; when
-        # the next block continues it (sn), defer the writeback.  Each
-        # block adds its contribution at its bin's dynamic row offset
-        # inside the super-brick.  Ablation motivation (ablate_v4.py,
-        # 128^3 / 1M pts): the per-bin read-modify-write chain was 21 ms
-        # of the 42.6 ms backward; super-bricks cut the chain ~rb x and
-        # dedupe the fp-row overlap traffic between adjacent bins.
-        # Bins pad to whole blocks with real blocks first, so a deferring
-        # block's successor always computes (hasv folded into sn
-        # host-side).  Correctness of overlapping reads (adjacent super-
-        # bricks share fp rows; z-adjacent slabs overlap too): grid steps
-        # run sequentially and the writeback is synchronous, so a read
-        # always sees every earlier writeback.
-        cp = pltpu.make_async_copy(
-            out_ref.at[pl.ds(ys, rows_s), pl.ds(z0, nsh)],
-            scratch, sem_in)
+    g = g_ref[s].reshape(7, c, q_block)
+    gv = [g[r] * mask for r in range(7)]
 
-        @pl.when(meta_ref[0, 0, _BW_SP] == 0)
+    contrib = jnp.zeros((wy_rows * cn3, wpad), jnp.float32)
+    for i in range(nsh):
+        # stage 1 (VPU): spread the weighted cotangents over the window
+        # rows with the one-hot row blend, in the row-major (window row,
+        # slab, c, n) M order of the brick scratch
+        rows_u = [jnp.zeros((cn3, q_block), jnp.float32)
+                  for _ in range(wy_rows)]
+        for j in range(nsh):
+            # factored cotangent panel (transpose of the fwd blend):
+            # 5 pair products + 7 row FMAs + 3*nsh z-spread FMAs
+            # instead of nsh slabs x 21 per-row coefficient FMAs
+            pair = [(wyw[ky][j] * wx[kx][i]) for (kx, ky) in _XY_PAIRS]
+            s = [jnp.zeros((c, n, q_block), jnp.float32)
+                 for _ in range(3)]
+            for r, (pi, kz) in enumerate(_ROW_FACTORS):
+                s[kz] = s[kz] + pair[pi][None] * gv[r][:, None, :]
+            ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
+                  + s[2] * wz[2][k][None] for k in range(nsh)]
+            pk = jnp.stack(ps, axis=0).reshape(cn3, q_block)
+            # only rows j..j+gy-1 can hit (see the blend kernel)
+            for row in range(j, j + gy):
+                rows_u[row] = rows_u[row] + pk * hyl[j][row][None, :]
+        u = jnp.concatenate(rows_u, axis=0)        # (wy_rows*cn3, Qb)
+        # stage 2 (MXU): scatter over x via the one-hot transpose
+        contrib = contrib + mxu.onehot_dot(
+            u, hx[i], (((1,), (1,)), ((), ())),
+            passes=mxu.passes_for(cfg))            # (rows, W)
+    return contrib.reshape(wy_rows, nsh, c * n, wpad)
+
+
+def _fused3b_bwd_kernel(xyzv_ref, meta_ref, off_ref, g_ref,
+                        vol0_ref, out_ref, scratch, sem_in, sem_out, *, cfg,
+                        spatial, gy, rb, q_block, sb, channels, n_cells,
+                        wpad):
+    del vol0_ref  # aliased to out_ref; zero-initialized by XLA
+    c = channels
+    wy_rows = gy + front_pad(cfg)
+    rows_s = rb * gy + front_pad(cfg)
+    nsh = n_shifts(cfg)
+
+    # ``sb`` sub-blocks per grid step (see the blend kernel): the SP/SN
+    # same-super-bin RMW-elision flags are per SUB-block over the global
+    # block sequence, so the read/accumulate/writeback chain is the sb=1
+    # chain verbatim — a writeback of sub-block s is always waited before
+    # sub-block s+1's read of a different super-brick starts.
+    for s in range(sb):
+        z0 = meta_ref[s, 0, _BW_Z0]
+        y0 = meta_ref[s, 0, _BW_Y0]
+        ys = meta_ref[s, 0, _BW_YS]
+
+        @pl.when(meta_ref[s, 0, _BW_HASV] > 0)
         def _():
-            cp.start()
-        valid = (xyzv_ref[0, 3] > 0.5).astype(jnp.float32)
-        off_col = off_ref[:, 0:1]
-        hx, wx = _axis_prep_wp(xyzv_ref[0, 0:1], w, wpad, cfg, off_col,
-                               q_block)
-        hyl, wyw, ymask = _axis_prep_window(xyzv_ref[0, 1:2], h, cfg,
-                                            off_col, q_block, y0, gy)
-        wz, zmask = _z_weights(xyzv_ref[0, 2:3], d, cfg, off_col, z0 - 2)
-        mask = valid * ymask * zmask
-
-        g = g_ref[0].reshape(7, c, q_block)
-        gv = [g[r] * mask for r in range(7)]
-
-        contrib = jnp.zeros((wy_rows * cn3, wpad), jnp.float32)
-        for i in range(nsh):
-            # stage 1 (VPU): spread the weighted cotangents over the
-            # window rows with the one-hot row blend, in the row-major
-            # (window row, slab, c, n) M order of the brick scratch
-            rows_u = [jnp.zeros((cn3, q_block), jnp.float32)
-                      for _ in range(wy_rows)]
-            for j in range(nsh):
-                # factored cotangent panel (transpose of the fwd blend):
-                # 5 pair products + 7 row FMAs + 3*nsh z-spread FMAs
-                # instead of nsh slabs x 21 per-row coefficient FMAs
-                pair = [(wyw[ky][j] * wx[kx][i]) for (kx, ky) in _XY_PAIRS]
-                s = [jnp.zeros((c, n, q_block), jnp.float32)
-                     for _ in range(3)]
-                for r, (pi, kz) in enumerate(_ROW_FACTORS):
-                    s[kz] = s[kz] + pair[pi][None] * gv[r][:, None, :]
-                ps = [s[0] * wz[0][k][None] + s[1] * wz[1][k][None]
-                      + s[2] * wz[2][k][None] for k in range(nsh)]
-                pk = jnp.stack(ps, axis=0).reshape(cn3, q_block)
-                # only rows j..j+gy-1 can hit (see the blend kernel)
-                for row in range(j, j + gy):
-                    rows_u[row] = rows_u[row] + pk * hyl[j][row][None, :]
-            u = jnp.concatenate(rows_u, axis=0)        # (wy_rows*cn3, Qb)
-            # stage 2 (MXU): scatter over x via the one-hot transpose
-            contrib = contrib + mxu.onehot_dot(
-                u, hx[i], (((1,), (1,)), ((), ())),
-                passes=mxu.passes_for(cfg))        # (rows, W)
-        @pl.when(meta_ref[0, 0, _BW_SP] == 0)
-        def _():
-            cp.wait()
-        dy = y0 - ys
-        scratch[pl.ds(dy, wy_rows)] = (
-            scratch[pl.ds(dy, wy_rows)]
-            + contrib.reshape(wy_rows, nsh, c * n, wpad))
-
-        @pl.when(meta_ref[0, 0, _BW_SN] == 0)
-        def _():
-            cp2 = pltpu.make_async_copy(
-                scratch,
+            # Same-SUPER-bin RMW elision: the scatter accumulates into a
+            # rb-bin-tall super-brick held in scratch.  When the previous
+            # block already holds this super-brick (sp), skip the read;
+            # when the next block continues it (sn), defer the writeback.
+            # Each block adds its contribution at its bin's dynamic row
+            # offset inside the super-brick.  Ablation motivation
+            # (ablate_v4.py, 128^3 / 1M pts): the per-bin read-modify-
+            # write chain was 21 ms of the 42.6 ms backward; super-bricks
+            # cut the chain ~rb x and dedupe the fp-row overlap traffic
+            # between adjacent bins.  Bins pad to whole blocks with real
+            # blocks first, so a deferring block's successor always
+            # computes (hasv folded into sn host-side).  Correctness of
+            # overlapping reads (adjacent super-bricks share fp rows;
+            # z-adjacent slabs overlap too): grid steps run sequentially
+            # and the writeback is synchronous, so a read always sees
+            # every earlier writeback.
+            cp = pltpu.make_async_copy(
                 out_ref.at[pl.ds(ys, rows_s), pl.ds(z0, nsh)],
-                sem_out)
-            cp2.start()
-            cp2.wait()
+                scratch, sem_in)
+
+            @pl.when(meta_ref[s, 0, _BW_SP] == 0)
+            def _():
+                cp.start()
+            contrib = _bwd3b_block_contrib(
+                xyzv_ref, off_ref, g_ref, s, cfg=cfg, spatial=spatial,
+                gy=gy, q_block=q_block, channels=c, n_cells=n_cells,
+                wpad=wpad, y0=y0, z0=z0)
+            @pl.when(meta_ref[s, 0, _BW_SP] == 0)
+            def _():
+                cp.wait()
+            dy = y0 - ys
+            scratch[pl.ds(dy, wy_rows)] = (
+                scratch[pl.ds(dy, wy_rows)] + contrib)
+
+            @pl.when(meta_ref[s, 0, _BW_SN] == 0)
+            def _():
+                cp2 = pltpu.make_async_copy(
+                    scratch,
+                    out_ref.at[pl.ds(ys, rows_s), pl.ds(z0, nsh)],
+                    sem_out)
+                cp2.start()
+                cp2.wait()
+
+
+# Ghost-accumulator metadata (the ghost kernel needs no ys/sn: the block
+# index IS the super-brick, Mosaic handles the writeback).
+_GW_Z0, _GW_Y0, _GW_YS, _GW_HASV, _GW_SP = range(5)
+
+# HBM budget for the private ghost-accumulator array; above it the
+# serialized-RMW kernel serves the shape instead (~1.4 GB at the 128^3
+# sweep: nbz * ceil(nby/rb) super-bricks x a (rb*gy+fp, nsh, C*N, Wp)
+# f32 brick each).
+_GHOST_HBM_BUDGET = 6 << 30
+
+
+def _fused3b_bwd_ghost_kernel(sbi_ref, xyzv_ref, meta_ref, off_ref, g_ref,
+                              out_ref, *, cfg, spatial, gy, rb,
+                              q_block, channels, n_cells, wpad):
+    """Ghost-accumulator gradient: every super-brick owns a PRIVATE
+    accumulator block, so the serialized read+writeback chain of
+    _fused3b_bwd_kernel disappears.
+
+    The scalar-prefetched ``sbi`` drives the OUTPUT BlockSpec's index
+    map: blocks of one super-brick are consecutive in the sorted grid,
+    so Mosaic keeps the (1, rows_s, nsh, C*N, Wp) block resident across
+    them and double-buffers the writeback against the next super-brick's
+    compute — the chain that measured 21.4 ms at the 128^3 sweep (only
+    3.4 ms of it bytes, BENCHMARKS.md) becomes pipelined stores.  There
+    are NO reads: private accumulators never overlap, unlike the shared
+    volume layout whose adjacent super-bricks share fp pad rows and
+    nsh-1 z slabs (the reason the RMW kernel had to read + write back
+    synchronously).  Super-bricks with no queries are never written (the
+    fold drops them via the host-computed ``visited`` mask); an XLA
+    overlap-add (_fold_bricks) folds the ghosts onto the shared volume
+    layout afterwards.
+
+    Reference bar: the atomic scatter this whole family replaces,
+    cosine_sampler_3d_kernel.cu:506-523.
+    """
+    y0 = meta_ref[0, 0, _GW_Y0]
+    ys = meta_ref[0, 0, _GW_YS]
+    z0 = meta_ref[0, 0, _GW_Z0]
+    wy_rows = gy + front_pad(cfg)
+
+    @pl.when(meta_ref[0, 0, _GW_SP] == 0)
+    def _():
+        # first block of this super-brick: initialize the resident block
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(meta_ref[0, 0, _GW_HASV] > 0)
+    def _():
+        contrib = _bwd3b_block_contrib(
+            xyzv_ref, off_ref, g_ref, 0, cfg=cfg, spatial=spatial, gy=gy,
+            q_block=q_block, channels=channels, n_cells=n_cells, wpad=wpad,
+            y0=y0, z0=z0)
+        dy = y0 - ys
+        out_ref[0, pl.ds(dy, wy_rows)] = (
+            out_ref[0, pl.ds(dy, wy_rows)] + contrib)
+
+
+def _fold_bricks(acc, visited, nbz, nysb, rows_s, nsh, cn, wp, gy, rb, fp,
+                 hp, dz):
+    """Overlap-add the private ghost bricks onto the shared volume layout
+    (Hp, D+fp+2, C*N, Wp).
+
+    Brick sbi = ysb*nbz + z0 covers rows [ysb*rb*gy, ysb*rb*gy + rows_s)
+    x slabs [z0, z0+nsh).  The Y-MAJOR brick numbering makes the fold
+    transpose-free: reshaped (nysb, nbz, rows, nsh, cn, wp), merging
+    (nysb, rows) IS the volume's y axis, so each z shift is one
+    contiguous band add (the y overlap — fp spill rows into the next
+    super-brick — folds via the padded-band trick of fused2w/3w).
+    ``visited`` (nsb,) flags bricks some block actually wrote; the rest
+    hold uninitialized memory (the kernel is alias-free on purpose — a
+    1.4 GB zeros init per call costs more than this select) and are
+    where'd to zero, not multiplied (garbage bytes can encode inf/nan).
+    """
+    own_rows = rb * gy
+    a = jnp.where(visited[:, None, None, None, None] > 0, acc, 0.0)
+    a = a.reshape(nysb, nbz, rows_s, nsh, cn, wp)
+    # over-padded target: y by own_rows (the last spill band), z by nsh-1
+    vol = jnp.zeros((hp + own_rows, dz + nsh - 1, cn, wp), acc.dtype)
+    own = a[:, :, :own_rows]                     # (nysb, nbz, rb*gy, ...)
+    spill = a[:, :, own_rows:]                   # (nysb, nbz, fp, ...)
+    spill = jnp.pad(spill, ((0, 0), (0, 0), (0, own_rows - fp),
+                            (0, 0), (0, 0), (0, 0)))
+    ny = nysb * own_rows
+    own = own.transpose(0, 2, 1, 3, 4, 5).reshape(ny, nbz, nsh, cn, wp)
+    spill = spill.transpose(0, 2, 1, 3, 4, 5).reshape(ny, nbz, nsh, cn, wp)
+    for zi in range(nsh):
+        vol = vol.at[0:ny, zi:zi + nbz].add(own[:, :, zi])
+        vol = vol.at[own_rows:own_rows + ny, zi:zi + nbz].add(
+            spill[:, :, zi])
+    return vol[:hp, :dz]
 
 
 def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
                       n_cells: int, q_block: int, gy: int, interpret: bool,
                       out_dtype, rb: int | None = None, plan=None,
-                      crop: bool = True):
+                      crop: bool = True, ghost: bool | None = None,
+                      sb: int = 1):
     """Cells-cotangent given the cotangent already in slot space.
 
     ``gq``: (7*C, QP) f32, slot-ordered per the _brick_bin layout of
@@ -851,11 +1008,92 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     ).reshape(4, nblocks, q_block).transpose(1, 0, 2)
     offsets = multicell_offsets(n, cfg.multicell, jnp.float32)[:, None]
     offsets = jnp.pad(offsets, ((0, npad - n), (0, 0)))
-    vol0 = jnp.zeros((hp, d + fp + 2, c * npad, wp), jnp.float32)
     bi = jnp.arange(nblocks, dtype=jnp.int32)
     ybin = y0 // gy
-    sbk = z0 * nby + (ybin // rb) * rb
     ys = (ybin // rb) * (rb * gy)
+
+    nbz = d + 2                        # z0 range (see _brick_bin)
+    nysb = -(-nby // rb)
+    rows_s = rb * gy + fp
+    cn = c * npad
+    acc_bytes = nbz * nysb * rows_s * nsh * cn * wp * 4
+    if ghost is None:
+        # OPT-IN: the ghost path measured a net LOSS at the 128^3 sweep
+        # (kernel 22.5 ms vs 28.2 serialized, but the XLA fold epilogue
+        # costs ~39 ms — scripts/time_ghost.py, BENCHMARKS.md round 5).
+        # Kept as the measured answer to "fewer serialized DMAs": the
+        # chain itself is only ~6 ms of the backward; the floor is
+        # per-block fixed cost, which de-serialization cannot touch.
+        ghost = False
+    if ghost and acc_bytes > _GHOST_HBM_BUDGET:
+        ghost = False
+
+    if ghost:
+        # private-accumulator path: no reads, Mosaic-pipelined writebacks.
+        # Y-MAJOR brick numbering so the fold epilogue's y-merge is one
+        # block-strided transpose, not a full-volume relayout.
+        sbi = (ybin // rb) * nbz + z0
+        # All-padding blocks sit only in the static-bound TAIL of the
+        # layout (_brick_bin pads per bin; every present bin's blocks end
+        # with its own partial block).  They inherit the LAST bin's
+        # z0/y0, whose super-brick may be an earlier-visited one — remap
+        # them to the last REAL block's sbi so a visited output block is
+        # never revisited non-consecutively (which would re-write it).
+        last_real = sbi[jnp.maximum(jnp.max(bi * hasv), 0)]
+        sbi = jnp.where(hasv > 0, sbi, last_real).astype(jnp.int32)
+        spg = (sbi == jnp.roll(sbi, 1)).astype(jnp.int32).at[0].set(0)
+        # bricks actually written; the rest hold uninitialized memory
+        # (no zeros init / aliasing on purpose) and are dropped in the
+        # fold — see _fold_bricks
+        visited = jnp.zeros((nbz * nysb,), jnp.int32).at[sbi].max(
+            1, mode="drop")
+        gmeta = jnp.stack([z0, y0, ys, hasv, spg],
+                          axis=1).astype(jnp.int32).reshape(nblocks, 1, 5)
+        gqb = gq.reshape(k_rows * c, nblocks, q_block).transpose(1, 0, 2)
+        gkernel = functools.partial(
+            _fused3b_bwd_ghost_kernel, cfg=cfg, spatial=(d, h, w), gy=gy,
+            rb=rb, q_block=q_block, channels=c, n_cells=npad, wpad=wp)
+        bricks = pl.pallas_call(
+            gkernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nblocks,),
+                in_specs=[
+                    pl.BlockSpec((1, 4, q_block),
+                                 lambda qi, sbi_ref: (qi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 5),
+                                 lambda qi, sbi_ref: (qi, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((npad, 1), lambda qi, sbi_ref: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, k_rows * c, q_block),
+                                 lambda qi, sbi_ref: (qi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, rows_s, nsh, cn, wp),
+                    lambda qi, sbi_ref: (sbi_ref[qi], 0, 0, 0, 0)),
+                scratch_shapes=[],
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nbz * nysb, rows_s, nsh, cn, wp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(sbi, xyzv, gmeta, offsets, gqb)
+        acc = _fold_bricks(bricks, visited, nbz, nysb, rows_s, nsh, cn,
+                           wp, gy, rb, fp, hp, d + fp + 2)
+        if not crop:
+            return vol_pad_mask_mul(acc, n, c, in_spatial,
+                                    cfg).astype(out_dtype)
+        acc = acc.reshape(hp, d + fp + 2, c, npad,
+                          wp)[fp:fp + h, fp:fp + d, :, :n, :w]
+        return acc.transpose(3, 2, 1, 0, 4).astype(out_dtype)
+
+    vol0 = jnp.zeros((hp, d + fp + 2, c * npad, wp), jnp.float32)
+    sbk = z0 * nby + (ybin // rb) * rb
     hasv_next = jnp.roll(hasv, -1).at[-1].set(0)
     same = sbk == jnp.roll(sbk, -1)
     sn = (same & (hasv_next > 0) & (bi < nblocks - 1)).astype(jnp.int32)
@@ -866,20 +1104,29 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
     # instead of 7C strided 512 B rows (see the blend kernel's out note)
     gq = gq.reshape(k_rows * c, nblocks, q_block).transpose(1, 0, 2)
 
+    # sub-blocking (see _blend3b_call): inert tail blocks to an sb multiple
+    nsuper = -(-nblocks // sb)
+    extra = nsuper * sb - nblocks
+    if extra:
+        xyzv = jnp.pad(xyzv, ((0, extra), (0, 0), (0, 0)))
+        gq = jnp.pad(gq, ((0, extra), (0, 0), (0, 0)))
+        meta = jnp.pad(meta, ((0, extra), (0, 0), (0, 0)), mode="edge")
+        meta = meta.at[nblocks:, :, _BW_HASV].set(0)
+
     kernel = functools.partial(
         _fused3b_bwd_kernel, cfg=cfg, spatial=(d, h, w), gy=gy, rb=rb,
-        q_block=q_block, channels=c, n_cells=npad, wpad=wp)
+        q_block=q_block, sb=sb, channels=c, n_cells=npad, wpad=wp)
     acc = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nsuper,),
         in_specs=[
-            pl.BlockSpec((1, 4, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((sb, 4, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((sb, 1, 6), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((npad, 1), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_rows * c, q_block), lambda qi: (qi, 0, 0),
+            pl.BlockSpec((sb, k_rows * c, q_block), lambda qi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -905,11 +1152,12 @@ def _bwd3b_from_slots(gq, points, in_spatial, cfg: SamplerConfig,
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
                                              "q_block", "gy", "rb",
-                                             "interpret"))
+                                             "interpret", "ghost", "sb"))
 def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
                        cfg: SamplerConfig, n_cells: int,
                        q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                       rb: int | None = None, interpret: bool = False):
+                       rb: int | None = None, interpret: bool = False,
+                       ghost: bool | None = None, sb: int = 1):
     """Cells-cotangent of pallas_fused3b_blend: (N, C, D, H, W)."""
     d, h, w = in_spatial
     k_rows, c, q = g.shape
@@ -920,17 +1168,18 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
     return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                              gy, interpret,
                              jnp.promote_types(g.dtype, points.dtype),
-                             rb=rb)
+                             rb=rb, ghost=ghost, sb=sb)
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
                                              "q_block", "gy", "rb",
-                                             "interpret"))
+                                             "interpret", "ghost", "sb"))
 def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               cfg: SamplerConfig, n_cells: int,
                               q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
                               rb: int | None = None,
-                              interpret: bool = False, plan=None):
+                              interpret: bool = False, plan=None,
+                              ghost: bool | None = None, sb: int = 1):
     """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
     pallas_fused3b_blend_padded directly — no scatter pass."""
     k_rows, c, qp = g_p.shape
@@ -938,17 +1187,18 @@ def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
     return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                              gy, interpret,
                              jnp.promote_types(g_p.dtype, points.dtype),
-                             rb=rb, plan=plan)
+                             rb=rb, plan=plan, ghost=ghost, sb=sb)
 
 
 @functools.partial(jax.jit, static_argnames=("in_spatial", "cfg", "n_cells",
                                              "q_block", "gy", "rb",
-                                             "interpret"))
+                                             "interpret", "ghost", "sb"))
 def pallas_fused3b_bwd_vol(g_p, points, in_spatial: Tuple[int, ...],
                            cfg: SamplerConfig, n_cells: int,
                            q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
                            rb: int | None = None,
-                           interpret: bool = False, plan=None):
+                           interpret: bool = False, plan=None,
+                           ghost: bool | None = None, sb: int = 1):
     """Volume-cotangent of pallas_fused3b_blend_vol, IN the kernel layout
     (Hp, D+fp+2, C*Npad, Wp) f32, pad slots exactly zero.
 
@@ -960,4 +1210,4 @@ def pallas_fused3b_bwd_vol(g_p, points, in_spatial: Tuple[int, ...],
     gq = g_p.reshape(k_rows * c, qp).astype(jnp.float32)
     return _bwd3b_from_slots(gq, points, in_spatial, cfg, n_cells, q_block,
                              gy, interpret, jnp.float32, rb=rb, plan=plan,
-                             crop=False)
+                             crop=False, ghost=ghost, sb=sb)

@@ -292,6 +292,58 @@ def make_sharded_vol_step(pinn_cfg, optimizer, mesh: Mesh, axis=POINTS_AXIS):
     return jax.jit(step)
 
 
+def make_sharded_mega_step(pinn_cfg, optimizer, mesh: Mesh,
+                           axis=POINTS_AXIS):
+    """jit-ready (params, opt_state, pts, plans) -> (params, opt_state,
+    loss): the sharded analog of ``pinn.make_train_step(...,
+    megakernel=True)``.
+
+    Each shard runs the ONE-PASS megakernel gradient
+    (pinn.value_and_grad_mega) on its slice of the points; since the
+    megakernel returns (loss, grads) directly rather than a
+    differentiable loss, the cross-shard reduction is an explicit
+    weighted ``psum`` of both (w = q_local / q_total turns per-shard
+    means into the global mean — exact, the local losses are already
+    /q_local sums).  Params/optimizer state stay replicated.  ``plans``
+    from make_sharded_plans over the same points and axis, or None to
+    re-bin per call.
+    """
+    axis = _resolve_axis(mesh, axis)
+
+    def step(params, opt_state, pts, plans):
+        from ..models.pinn import value_and_grad_mega
+
+        q_total = pts.shape[0]
+
+        def local(prm, p, pl):
+            if pl is not None:
+                pl = jax.tree_util.tree_map(lambda a: a[0], pl)
+            lval, grads = value_and_grad_mega(prm, p, pinn_cfg, plan=pl)
+            w = p.shape[0] / q_total
+            lval = jax.lax.psum(lval * w, axis)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g * w, axis), grads)
+            return lval, grads
+
+        # check_vma=False: see the sharded_sample note (the megakernel's
+        # Pallas calls sit behind the same custom-call opacity)
+        if plans is None:
+            fn = jax.shard_map(lambda prm, p: local(prm, p, None),
+                               mesh=mesh, in_specs=(P(), P(axis, None)),
+                               out_specs=(P(), P()), check_vma=False)
+            lval, grads = fn(params, pts)
+        else:
+            fn = jax.shard_map(local, mesh=mesh,
+                               in_specs=(P(), P(axis, None), P(axis)),
+                               out_specs=(P(), P()), check_vma=False)
+            lval, grads = fn(params, pts, plans)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, lval
+
+    return jax.jit(step)
+
+
 def shard_pinn_step(step_fn, mesh: Mesh, axis=POINTS_AXIS):
     """jit a (params, opt_state, pts) -> (params, opt_state, loss) step with
     params/opt_state replicated and pts sharded over the mesh.

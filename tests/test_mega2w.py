@@ -150,3 +150,52 @@ def test_mega_supports_gates():
     assert not mega2w.supports(cfg3, (6, 4, 8, 16, 16), 6 << 20, 4096)
     # MLP tile bounds
     assert not mega2w.supports(cfg, shape, 6 << 20, 4096, hidden=256)
+
+
+def test_mega_sharded_matches_single(mesh_8):
+    """make_sharded_mega_step on the virtual 8-device mesh: one step's
+    params/loss equal the single-device mega step (weighted-psum grads)."""
+    from cosinesampler_tpu.parallel.sharding import (make_mesh,
+                                                     make_sharded_mega_step,
+                                                     make_sharded_plans)
+
+    cfg = _pcfg(n_cells=4, cell_size=8, hidden=8)
+    params, pts = _setup(cfg, q=4096, seed=6)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    mesh = make_mesh(8)
+    plans = make_sharded_plans(pts, params["cells"].shape, cfg.sampler, mesh)
+    step_s = make_sharded_mega_step(cfg, optimizer, mesh)
+    p2, _, l2 = step_s(params, opt_state, pts, plans)
+
+    step_1 = pinn.make_train_step(cfg, optimizer, megakernel=True)
+    # single-device reference over the same GLOBAL points, no plan
+    p1, _, l1 = step_1(params, opt_state, pts, None)
+    np.testing.assert_allclose(l2, l1, rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(p2[k], p1[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=f"param {k}")
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture()
+def mesh_8():
+    import jax as _jax
+    assert _jax.device_count() >= 8
+    return None
+
+
+def test_trainer_megakernel_flag():
+    """train(megakernel=True) runs end-to-end and reduces the loss."""
+    from cosinesampler_tpu.models.train import TrainConfig, train
+
+    cfg = TrainConfig(
+        model=pinn.PINNConfig(dim=2, n_cells=4, cell_dim=2, cell_size=8,
+                              hidden=8, backend="pallas"),
+        batch_points=4096, steps=6, lr=3e-3, fixed_points=True,
+        megakernel=True, log_every=3)
+    _, metrics = train(cfg)
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
