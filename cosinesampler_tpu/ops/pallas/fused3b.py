@@ -82,7 +82,15 @@ V3B_RB = 8
 # consecutive blocks per grid step pays that cost once per sb while the
 # bin padding stays q_block-granular (the fused2w._pad_super idiom —
 # measured a WASH on the ~800-block v5 kernels, but v4's block count is
-# 16x that).  Default set by the round-5 A/B (scripts/time_ghost.py).
+# 16x that).  Round-5 A/B at the 128^3 bf16 sweep (scripts/time_sb.py,
+# one session): fwd 23.3 -> 21.6 ms, bwd 27.5 -> 26.7 ms at sb=8, full
+# vol step 57.2 -> 55.9 ms — small (~2.3%) but consistent; the remaining
+# per-block cost is therefore NOT grid-step overhead (sb would have
+# removed it) but the per-block work/DMA latency itself.  The MODULE
+# default stays 1 — an sb=8 default makes every interpret-mode (CPU CI)
+# kernel ~8x slower to trace/run for a ~2% device win — and the shipped
+# autotune entries carry sb=8 for the 128^3 signatures instead, so the
+# flagship route gets the win without taxing the test matrix.
 V3B_SB = 1
 _HBM_BUDGET = 4 << 30  # bytes for the padded HBM-resident volume
 # Below ~this many queries per bin the padding blocks dominate the brick
@@ -142,9 +150,10 @@ def _rb_fit(cfg: SamplerConfig, n: int, c: int, w: int, gy: int) -> int:
 def supports(cfg: SamplerConfig, cells_shape, vmem_budget: int,
              n_queries: int | None = None, q_block: int | None = None,
              gy: int | None = None, rb: int | None = None,
-             sb: int = 1) -> bool:
+             sb: int | None = None) -> bool:
     q_block = q_block or V3B_Q_BLOCK
     gy = gy or V3B_GY
+    sb = sb or V3B_SB
     if cfg.dim != 3 or cfg.padding_mode not in FUSED_PADDING_MODES_WIDE:
         return False
     n, c, d, h, w = cells_shape
@@ -686,7 +695,7 @@ def _blend3b_call(vol, pts_p, occ, z0, y0, hasv, qp, cfg: SamplerConfig,
                                              "sb", "interpret"))
 def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
                                 q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                                rb: int | None = None, sb: int = 1,
+                                rb: int | None = None, sb: int = V3B_SB,
                                 interpret: bool = False, plan=None):
     """Slot-resident variant: (out_p (7, C, QP), occ (QP,), positions (Q,)).
 
@@ -716,7 +725,7 @@ def pallas_fused3b_blend_padded(cells, points, cfg: SamplerConfig,
 def pallas_fused3b_blend_vol(vol, points, cfg: SamplerConfig, n_cells: int,
                              channels: int, in_spatial: Tuple[int, ...],
                              q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                             rb: int | None = None, sb: int = 1,
+                             rb: int | None = None, sb: int = V3B_SB,
                              interpret: bool = False, plan=None):
     """Slot-resident blend over a KERNEL-LAYOUT volume (see vol_layout).
 
@@ -745,7 +754,7 @@ def pallas_fused3b_blend_vol(vol, points, cfg: SamplerConfig, n_cells: int,
                                              "sb", "interpret"))
 def pallas_fused3b_blend(cells, points, cfg: SamplerConfig,
                          q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
-                         rb: int | None = None, sb: int = 1,
+                         rb: int | None = None, sb: int = V3B_SB,
                          interpret: bool = False):
     """(7, C, Q) fused multicell value/jac/diag-Hessian (v4, bricked)."""
     c = cells.shape[1]
@@ -1157,7 +1166,7 @@ def pallas_fused3b_bwd(g, points, in_spatial: Tuple[int, ...],
                        cfg: SamplerConfig, n_cells: int,
                        q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
                        rb: int | None = None, interpret: bool = False,
-                       ghost: bool | None = None, sb: int = 1):
+                       ghost: bool | None = None, sb: int = V3B_SB):
     """Cells-cotangent of pallas_fused3b_blend: (N, C, D, H, W)."""
     d, h, w = in_spatial
     k_rows, c, q = g.shape
@@ -1179,7 +1188,7 @@ def pallas_fused3b_bwd_padded(g_p, points, in_spatial: Tuple[int, ...],
                               q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
                               rb: int | None = None,
                               interpret: bool = False, plan=None,
-                              ghost: bool | None = None, sb: int = 1):
+                              ghost: bool | None = None, sb: int = V3B_SB):
     """Cells-cotangent taking the slot-space (7, C, QP) cotangent of
     pallas_fused3b_blend_padded directly — no scatter pass."""
     k_rows, c, qp = g_p.shape
@@ -1198,7 +1207,7 @@ def pallas_fused3b_bwd_vol(g_p, points, in_spatial: Tuple[int, ...],
                            q_block: int = V3B_Q_BLOCK, gy: int = V3B_GY,
                            rb: int | None = None,
                            interpret: bool = False, plan=None,
-                           ghost: bool | None = None, sb: int = 1):
+                           ghost: bool | None = None, sb: int = V3B_SB):
     """Volume-cotangent of pallas_fused3b_blend_vol, IN the kernel layout
     (Hp, D+fp+2, C*Npad, Wp) f32, pad slots exactly zero.
 

@@ -204,9 +204,13 @@ def _candidates(generation: str):
         # VMEM, so fatter bricks (fewer, larger blocks — the 128^3 fwd is
         # per-block fixed-cost-bound) become feasible; supports() prunes
         # infeasible combos per precision.
-        return [{"q_block": qb, "gy": gy, "rb": rb}
+        # sb (sub-blocks per grid step) joined the grid in round 5: ~2%
+        # measured at 128^3/sb=8 (scripts/time_sb.py); {1, 8} keeps the
+        # sweep bounded.
+        return [{"q_block": qb, "gy": gy, "rb": rb, "sb": sbv}
                 for qb in qbs((128, 256))
-                for gy in (2, 4, 8) for rb in (4, 8, 16)]
+                for gy in (2, 4, 8) for rb in (4, 8, 16)
+                for sbv in (1, 8)]
     return [{"q_block": qb} for qb in qbs((128, 256, 512, 1024))]
 
 

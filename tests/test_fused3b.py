@@ -110,3 +110,37 @@ def test_supports_gating():
     # W not 128-aligned: handled via internal lane padding
     assert supports(SamplerConfig(dim=3), (16, 4, 128, 128, 64), budget,
                     n_queries=1_000_000)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+def test_v3b_bwd_ghost_matches_serialized(padding):
+    """The ghost-accumulator gradient (private per-super-brick blocks +
+    fold epilogue) is bit-comparable to the serialized-RMW one — same
+    per-block contributions, different accumulation route (round 5;
+    ghost is OPT-IN after measuring a net loss at 128^3, fused3b.py)."""
+    cfg = SamplerConfig(dim=3, padding_mode=padding, backend="pallas")
+    cells, pts = _data(11, lo=-1.2, hi=1.2, shape=(10, 12, 9))
+    rng = np.random.RandomState(12)
+    g = jnp.asarray(rng.randn(7, C, Q), jnp.float32)
+    ser = pallas_fused3b_bwd(g, pts, (10, 12, 9), cfg, N_CELL,
+                             interpret=True, ghost=False)
+    gho = pallas_fused3b_bwd(g, pts, (10, 12, 9), cfg, N_CELL,
+                             interpret=True, ghost=True)
+    np.testing.assert_allclose(gho, ser, rtol=1e-5, atol=1e-5)
+
+
+def test_v3b_sub_blocking_bit_identical():
+    """sb > 1 groups query blocks per grid step without touching the slot
+    layout or any numerics — outputs must be bit-identical to sb=1."""
+    cfg = SamplerConfig(dim=3, backend="pallas")
+    cells, pts = _data(13, shape=(10, 12, 9))
+    rng = np.random.RandomState(14)
+    g = jnp.asarray(rng.randn(7, C, Q), jnp.float32)
+    b1 = pallas_fused3b_blend(cells, pts, cfg, interpret=True, sb=1)
+    b4 = pallas_fused3b_blend(cells, pts, cfg, interpret=True, sb=4)
+    np.testing.assert_array_equal(np.asarray(b4), np.asarray(b1))
+    w1 = pallas_fused3b_bwd(g, pts, (10, 12, 9), cfg, N_CELL,
+                            interpret=True, ghost=False, sb=1)
+    w4 = pallas_fused3b_bwd(g, pts, (10, 12, 9), cfg, N_CELL,
+                            interpret=True, ghost=False, sb=4)
+    np.testing.assert_array_equal(np.asarray(w4), np.asarray(w1))
