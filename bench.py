@@ -76,8 +76,9 @@ _START = time.monotonic()
 RESULTS = {
     "metric": "2D multicell PINN train iters/sec "
               "(96x4x16x16 cells, 100k pts, Allen-Cahn 2nd-order; "
-              "vs_baseline = points/sec speedup over naive nested-grad "
-              "XLA, which OOMs above 25k pts)",
+              "fastest exact pipeline — extras['headline_pipeline'] says "
+              "which; vs_baseline = points/sec speedup over naive "
+              "nested-grad XLA, which OOMs above 25k pts)",
     "value": 0.0,
     "unit": "iters/sec",
     "vs_baseline": 0.0,
@@ -398,6 +399,73 @@ def _large_sweep_flagship(rng):
 
     _stage("128^3 planned", 150, planned_variant)
 
+    def attribution():
+        # VERDICT r4 #7: the 128^3 step's fwd-kernel / bwd-kernel split +
+        # the HBM-BW% of the backward's RMW accumulator traffic, captured
+        # in the driver record each round (BASELINE "HBM-BW-bound, report
+        # HBM BW %").  Isolated vol-layout kernel scans at bf16, plan
+        # prebuilt, tuned kwargs (incl. the round-5 sb).
+        from cosinesampler_tpu.ops.pallas import _tuned, fused3b
+        from cosinesampler_tpu.utils.profiling import V5E_HBM_GBPS
+
+        shape = (16, 4, 128, 128, 128)
+        cfg_b = dataclasses.replace(pcfg, precision="bf16")
+        scfg = cfg_b.sampler
+        kw = _tuned(fused3b, scfg, shape, pts.shape[0])
+        plan = make_sample_plan(pts, shape, scfg)
+        qp = plan[1].shape[0]
+        vol = fused3b.cells_to_vol(cells.astype(jnp.bfloat16), scfg,
+                                   gy=kw.get("gy", fused3b.V3B_GY),
+                                   rb=kw.get("rb"))
+        gp = jnp.ones((7, 4, qp), jnp.float32)
+        reps_k = 10
+
+        def scan_kernel(fn, x):
+            @jax.jit
+            def many(v):
+                def body(carry, _):
+                    out = fn(carry)
+                    bump = (1e-30 * out).astype(carry.dtype)
+                    return carry + bump, out
+                carry, vals = jax.lax.scan(body, x * 1.0, None,
+                                           length=reps_k)
+                return vals.sum() + carry.ravel()[0].astype(jnp.float32)
+            r = many(x)
+            jax.block_until_ready(r)
+            return min(_timed(many, x * (0.999 - 1e-4 * i))
+                       for i in range(3)) / reps_k
+
+        sf = scan_kernel(
+            lambda v: fused3b.pallas_fused3b_blend_vol(
+                v, pts, scfg, 16, 4, (128, 128, 128), plan=plan,
+                **kw)[0][0, 0, 0], vol)
+        sg = scan_kernel(
+            lambda g: fused3b.pallas_fused3b_bwd_vol(
+                g, pts, (128, 128, 128), scfg, 16, plan=plan,
+                **kw)[0, 0, 0, 0], gp)
+        # RMW accumulator traffic: one read + one write of every visited
+        # super-brick region (transitions ~= super-brick count)
+        d_, h_ = 128, 128
+        fp = 2
+        gyv = kw.get("gy", fused3b.V3B_GY)
+        rbv = kw.get("rb") or fused3b.V3B_RB
+        nby = -(-(h_ + 2) // gyv)
+        nsb = (d_ + 2) * (-(-nby // rbv))
+        brick_bytes = (rbv * gyv + fp) * 2 * 4 * 16 * 128 * 4
+        rmw_gb = 2 * nsb * brick_bytes / 1e9
+        rmw_pct = 100 * (rmw_gb / sg) / V5E_HBM_GBPS
+        RESULTS["extra"]["large_sweep_fwd_kernel_bf16_ms"] = \
+            round(sf * 1e3, 1)
+        RESULTS["extra"]["large_sweep_bwd_kernel_bf16_ms"] = \
+            round(sg * 1e3, 1)
+        RESULTS["extra"]["large_sweep_bwd_rmw_traffic_hbm_pct"] = \
+            round(rmw_pct, 1)
+        log(f"128^3 kernels (bf16): fwd {sf * 1e3:.1f} ms, bwd "
+            f"{sg * 1e3:.1f} ms; RMW traffic {rmw_gb:.2f} GB = "
+            f"{rmw_pct:.1f}% of HBM peak over the bwd")
+
+    _stage("128^3 attribution", 120, attribution)
+
 
 def main():
     compile_cache.enable()
@@ -439,6 +507,35 @@ def main():
             round(ips, 3)
 
     _stage("2D bf16", 180, lambda: two_d_precision("bf16"))
+
+    def megakernel(prec):
+        # v6 one-pass train-step gradient (ops/pallas/mega2w.py): blend +
+        # in-kernel MLP/residual vjp + cotangent splat in ONE Pallas
+        # kernel — faster AND more accurate than the two-kernel step
+        # (BENCHMARKS.md round-5 section).  plan=None: the scan hoists
+        # the point-invariant binning, matching the flagship methodology.
+        cfg_p = dataclasses.replace(cfg, precision=prec)
+        if not pinn.mega_available(cfg_p, N_POINTS):
+            log(f"megakernel[{prec}]: not routed for this shape")
+            return
+        step4 = pinn.make_train_step(cfg_p, optimizer, megakernel=True)
+        step_p = jax.jit(lambda p, s, x: step4(p, s, x, None))
+        ips = _bench(step_p, params, opt_state, pts, f"mega@100k[{prec}]")
+        RESULTS["extra"][f"pinn2d_mega_{prec}_iters_per_sec"] = \
+            round(ips, 3)
+        if prec == "exact" and ips > RESULTS["value"]:
+            # promote: the megakernel is the flagship when it wins (the
+            # two-kernel number stays in extras for continuity)
+            RESULTS["extra"]["pinn2d_twokernel_iters_per_sec"] = \
+                RESULTS["value"]
+            RESULTS["extra"]["headline_pipeline"] = "megakernel"
+            naive_pps = (RESULTS["value"] * N_POINTS
+                         / max(RESULTS["vs_baseline"], 1e-9))
+            RESULTS["value"] = round(ips, 3)
+            RESULTS["vs_baseline"] = round(ips * N_POINTS / naive_pps, 3)
+
+    _stage("2D megakernel exact", 120, lambda: megakernel("exact"))
+    _stage("2D megakernel bf16", 120, lambda: megakernel("bf16"))
 
     def naive_baseline():
         # The naive nested-grad graph cannot even fit the reference's

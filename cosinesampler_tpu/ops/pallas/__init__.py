@@ -14,7 +14,7 @@ import math
 from .. import generic
 from ..sampler import register_backend
 from . import (fused2d, fused2w, fused3b, fused3d, fused3s, fused3w, mega2w,
-               slab)
+               percell, slab)
 from .fused import FUSED_Q_BLOCK, pallas_fused_blend, pallas_fused_bwd
 from .kernels import DEFAULT_Q_BLOCK, pallas_blend, pallas_splat
 from .prep import VMEM_BUDGET as _VMEM_BUDGET
@@ -99,18 +99,32 @@ def _blend(input, grid, cfg, orders):
     if _f64(input, grid):
         return generic.blend(input, grid, cfg, orders)
     if not _fits_vmem(input.shape, DEFAULT_Q_BLOCK, whole_stack=False):
-        # over-VMEM volumes: the slab-decomposed v1 route (slab.py) —
-        # a real TPU kernel at any volume size; the XLA gather fallback
-        # is last resort only (its 3D leg faults the TPU runtime under
-        # lax.scan, BENCHMARKS.md "Per-cell" caveat)
-        if slab.supports(cfg, input.shape, _VMEM_BUDGET):
+        # over-VMEM volumes: first the binned per-cell route (percell.py
+        # — each query block touches ONE (cell, z-window) pair), then the
+        # slab-decomposed v1 route (slab.py — correctness at any size),
+        # and the XLA gather fallback last (its 3D leg faults the TPU
+        # runtime under lax.scan, BENCHMARKS.md "Per-cell" caveat)
+        import math as _math
+
+        n_pairs = input.shape[0] * _math.prod(grid.shape[1:-1])
+        if percell.supports(cfg, input.shape, _VMEM_BUDGET, n_pairs):
             return _slab_guard(
-                "blend",
-                lambda: slab.pallas_blend_slab(input, grid, cfg, orders,
-                                               interpret=INTERPRET),
-                lambda: generic.blend(input, grid, cfg, orders))
-        return generic.blend(input, grid, cfg, orders)
+                "blend_percell",
+                lambda: percell.pallas_blend_percell(
+                    input, grid, cfg, orders, interpret=INTERPRET),
+                lambda: _blend_overvmem_rest(input, grid, cfg, orders))
+        return _blend_overvmem_rest(input, grid, cfg, orders)
     return pallas_blend(input, grid, cfg, orders, interpret=INTERPRET)
+
+
+def _blend_overvmem_rest(input, grid, cfg, orders):
+    if slab.supports(cfg, input.shape, _VMEM_BUDGET):
+        return _slab_guard(
+            "blend",
+            lambda: slab.pallas_blend_slab(input, grid, cfg, orders,
+                                           interpret=INTERPRET),
+            lambda: generic.blend(input, grid, cfg, orders))
+    return generic.blend(input, grid, cfg, orders)
 
 
 def _splat(gout, grid, in_spatial, cfg, orders):
@@ -118,17 +132,33 @@ def _splat(gout, grid, in_spatial, cfg, orders):
     if _f64(gout, grid):
         return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
     if not _fits_vmem(shape, DEFAULT_Q_BLOCK, whole_stack=False):
-        if slab.supports(cfg, shape, _VMEM_BUDGET):
+        import math as _math
+
+        n_pairs = gout.shape[0] * _math.prod(grid.shape[1:-1])
+        if percell.supports(cfg, shape, _VMEM_BUDGET, n_pairs):
             return _slab_guard(
-                "splat",
-                lambda: slab.pallas_splat_slab(gout, grid,
-                                               tuple(in_spatial), cfg,
-                                               orders, interpret=INTERPRET),
-                lambda: generic.splat(gout, grid, tuple(in_spatial), cfg,
-                                      orders))
-        return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
+                "splat_percell",
+                lambda: percell.pallas_splat_percell(
+                    gout, grid, tuple(in_spatial), cfg, orders,
+                    interpret=INTERPRET),
+                lambda: _splat_overvmem_rest(gout, grid, in_spatial, cfg,
+                                             orders))
+        return _splat_overvmem_rest(gout, grid, in_spatial, cfg, orders)
     return pallas_splat(gout, grid, tuple(in_spatial), cfg, orders,
                         interpret=INTERPRET)
+
+
+def _splat_overvmem_rest(gout, grid, in_spatial, cfg, orders):
+    shape = (gout.shape[0], gout.shape[1], *in_spatial)
+    if slab.supports(cfg, shape, _VMEM_BUDGET):
+        return _slab_guard(
+            "splat",
+            lambda: slab.pallas_splat_slab(gout, grid,
+                                           tuple(in_spatial), cfg,
+                                           orders, interpret=INTERPRET),
+            lambda: generic.splat(gout, grid, tuple(in_spatial), cfg,
+                                  orders))
+    return generic.splat(gout, grid, tuple(in_spatial), cfg, orders)
 
 
 def _strict_mixed_align(cfg) -> bool:
