@@ -1,10 +1,12 @@
-"""TPU smoke + throughput for the slab-decomposed v1 kernels (slab.py).
+"""TPU smoke + throughput for the over-VMEM per-cell surface.
 
-Interpret-mode tests (tests/test_slab.py) pin the math; this script proves
-Mosaic actually compiles the slab kernels on hardware and records their
-throughput on the over-VMEM surface they exist for: per-cell and shared
-queries on a 128^3-class volume, fwd and cell-gradient, iterated inside a
-jitted lax.scan (the pattern that faults the XLA fallback, BENCHMARKS.md).
+Interpret-mode tests (tests/test_slab.py, test_percell.py) pin the math;
+this script proves Mosaic compiles the route on hardware and records its
+throughput: per-cell queries on a 128^3-class volume, fwd and
+cell-gradient, iterated inside a jitted lax.scan (the pattern that faults
+the XLA fallback, BENCHMARKS.md).  Since round 5 this workload routes to
+the BINNED v7 kernels (percell.py, 4.1 Mpts/s fwd); sparse clouds below
+the pair floor still ride the slab route (1.34 Mpts/s).
 """
 import os
 import sys
