@@ -157,8 +157,9 @@ def test_tune_measures_and_persists(monkeypatch):
 
 def test_tune_gy_candidates_for_v3b():
     cands = autotune._candidates("v3b")
-    assert {"q_block": 256, "gy": 4, "rb": 4} in cands
-    assert all(set(c) == {"q_block", "gy", "rb"} for c in cands)
+    assert {"q_block": 256, "gy": 4, "rb": 4, "sb": 1} in cands
+    assert {"q_block": 128, "gy": 2, "rb": 8, "sb": 8} in cands
+    assert all(set(c) == {"q_block", "gy", "rb", "sb"} for c in cands)
 
 
 def test_tune_workload_skips_off_tpu():

