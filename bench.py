@@ -421,27 +421,30 @@ def _large_sweep_flagship(rng):
         reps_k = 10
 
         def scan_kernel(fn, x):
+            # pts/plan ride as ARGUMENTS, never closure constants: a 1M
+            # closure constant embeds in the HLO and blows the remote
+            # compile service's request-size limit (HTTP 413) — and
+            # poisons trace time (CLAUDE.md big-closure lesson)
             @jax.jit
-            def many(v):
+            def many(v, p, pl):
                 def body(carry, _):
-                    out = fn(carry)
+                    out = fn(carry, p, pl)
                     bump = (1e-30 * out).astype(carry.dtype)
                     return carry + bump, out
-                carry, vals = jax.lax.scan(body, x * 1.0, None,
-                                           length=reps_k)
+                carry, vals = jax.lax.scan(body, v, None, length=reps_k)
                 return vals.sum() + carry.ravel()[0].astype(jnp.float32)
-            r = many(x)
+            r = many(x, pts, plan)
             jax.block_until_ready(r)
-            return min(_timed(many, x * (0.999 - 1e-4 * i))
+            return min(_timed(many, x * (0.999 - 1e-4 * i), pts, plan)
                        for i in range(3)) / reps_k
 
         sf = scan_kernel(
-            lambda v: fused3b.pallas_fused3b_blend_vol(
-                v, pts, scfg, 16, 4, (128, 128, 128), plan=plan,
+            lambda v, p, pl: fused3b.pallas_fused3b_blend_vol(
+                v, p, scfg, 16, 4, (128, 128, 128), plan=pl,
                 **kw)[0][0, 0, 0], vol)
         sg = scan_kernel(
-            lambda g: fused3b.pallas_fused3b_bwd_vol(
-                g, pts, (128, 128, 128), scfg, 16, plan=plan,
+            lambda g, p, pl: fused3b.pallas_fused3b_bwd_vol(
+                g, p, (128, 128, 128), scfg, 16, plan=pl,
                 **kw)[0, 0, 0, 0], gp)
         # RMW accumulator traffic: one read + one write of every visited
         # super-brick region (transitions ~= super-brick count)
