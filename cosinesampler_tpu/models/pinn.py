@@ -130,14 +130,28 @@ def _residual_from_fields(u, u_d, u_dd, cfg: PINNConfig):
 
 
 def _mlp_derivs(params, feats, dim):
-    """Propagate the MLP through value/jac/diag-Hessian feature rows."""
+    """Propagate the MLP through value/jac/diag-Hessian feature rows.
+
+    The contractions are written as unrolled broadcast-FMAs, not matmuls:
+    on TPU a f32 ``@`` defaults to ONE bf16 MXU pass, which put the
+    two-kernel training path ~1.8e-3 off the f32 loss (the round-5
+    megakernel accuracy finding, BENCHMARKS.md) — at K = C (4) and
+    hidden = 16 the FMA form is both exact and cheaper than forcing
+    Precision.HIGHEST (6 tiny passes per dot per derivative order).
+    """
     f = feats[0]
     jac = [feats[1 + ax] for ax in range(dim)]
     hes = [feats[1 + dim + ax] for ax in range(dim)]
+    w1 = params["w1"]                  # (C, hidden)
+    b1c = params["b1"][:, None]        # (hidden, 1)
+    w2c = params["w2"]                 # (hidden, 1)
 
-    def net(z):
-        h = jnp.tanh(params["w1"].T @ z + params["b1"][:, None])
-        return (params["w2"].T @ h + params["b2"][:, None])[0]
+    def net(z):                        # (C, Q) -> (Q,)
+        pre = b1c
+        for ci in range(z.shape[0]):
+            pre = pre + w1[ci, :, None] * z[ci:ci + 1, :]
+        h = jnp.tanh(pre)
+        return (w2c * h).sum(axis=0) + params["b2"][0]
 
     u = net(f)
     u_d, u_dd = [], []
